@@ -1,0 +1,198 @@
+"""Typed, nested, defaulted experiment configuration.
+
+Mirror of the reference config system (``experiments/src/config.jl``):
+dataclass tree with defaults, loaded from YAML, with ``--a.b.c=value`` CLI
+overrides merged on top (the SimpleConfig.define_configuration analog,
+``experiments/mnist_ode/main.jl:21``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass
+class SolverConfig:
+    ode_solver: str = "tsit5"
+    abstol: float = 5.0e-2
+    reltol: float = 5.0e-2
+    max_steps: int = 256
+    checkpoint_every: int = 16
+
+
+@dataclass
+class ModelConfig:
+    model_type: str = "mlp"  # mlp | time_series | cifar10_cnn
+    regularize: str = "unbiased"
+    regularize_type: str = "error_estimate"
+    image_size: List[int] = field(default_factory=lambda: [32, 32])
+    in_channels: int = 3
+    num_classes: int = 10
+    sde: bool = False
+    solver: SolverConfig = field(default_factory=SolverConfig)
+    # mlp
+    mlp_hidden_state_size: int = 100
+    mlp_num_hidden_layers: int = 1
+    mlp_time_dependent: bool = True
+    # time_series
+    ts_in_dims: int = 37
+    ts_hidden_dims: int = 40
+    ts_latent_dims: int = 50
+    ts_node_dims: int = 20
+
+
+@dataclass
+class LossConfig:
+    w_reg_start: float = 100.0
+    w_reg_end: float = 10.0
+    w_reg_decay: str = "exponential"
+
+
+@dataclass
+class LRSchedulerConfig:
+    lr_scheduler: str = "inverse"
+    cosine_lr_div_factor: float = 100.0
+    cosine_cycle_length: int = 50000
+    cosine_dampen: float = 1.0
+    step_lr_steps: List[int] = field(
+        default_factory=lambda: [1000, 2000, 5000]
+    )
+    step_lr_step_decay: float = 0.1
+    inverse_decay_factor: float = 1.0e-4
+    exponential_lr_div_factor: float = 100.0
+
+
+@dataclass
+class OptimizerConfig:
+    optimizer: str = "adam"
+    learning_rate: float = 0.01
+    nesterov: bool = False
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
+
+
+@dataclass
+class TrainConfig:
+    total_steps: int = 10000
+    evaluate_every: int = 2500
+    resume: str = ""
+    evaluate: bool = False
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "logs"
+    expt_subdir: str = ""
+    expt_id: str = ""
+    print_frequency: int = 100
+
+
+@dataclass
+class DatasetConfig:
+    augment: bool = False
+    data_root: str = ""
+    eval_batchsize: int = 64
+    train_batchsize: int = 64
+
+
+@dataclass
+class ExperimentConfig:
+    seed: int = 0
+    loss: LossConfig = field(default_factory=LossConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+
+
+def _from_dict(cls, data: dict):
+    if not dataclasses.is_dataclass(cls):
+        return data
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    for key, value in (data or {}).items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}")
+        ftype = fields[key].type
+        sub = _FIELD_TYPES.get((cls.__name__, key))
+        if sub is not None and isinstance(value, dict):
+            kwargs[key] = _from_dict(sub, value)
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+_FIELD_TYPES = {
+    ("ExperimentConfig", "loss"): LossConfig,
+    ("ExperimentConfig", "model"): ModelConfig,
+    ("ExperimentConfig", "optimizer"): OptimizerConfig,
+    ("ExperimentConfig", "train"): TrainConfig,
+    ("ExperimentConfig", "dataset"): DatasetConfig,
+    ("ModelConfig", "solver"): SolverConfig,
+    ("OptimizerConfig", "scheduler"): LRSchedulerConfig,
+}
+
+
+def _parse_value(raw: str) -> Any:
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(raw)
+    except ValueError:
+        pass
+    try:
+        return float(raw)
+    except ValueError:
+        pass
+    return raw
+
+
+def _apply_override(cfg, dotted: str, value: Any):
+    parts = dotted.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    if not hasattr(obj, parts[-1]):
+        raise KeyError(f"unknown override key {dotted!r}")
+    setattr(obj, parts[-1], value)
+
+
+def define_configuration(
+    args: Optional[List[str]] = None, config_file: Optional[str] = None
+) -> ExperimentConfig:
+    """Load YAML config + ``--a.b.c=value`` CLI overrides."""
+    data = {}
+    if config_file:
+        import yaml
+
+        with open(config_file) as f:
+            data = yaml.safe_load(f) or {}
+    cfg = _from_dict(ExperimentConfig, data)
+    for arg in args or []:
+        if not arg.startswith("--") or "=" not in arg:
+            raise ValueError(f"overrides must look like --a.b.c=value; got {arg!r}")
+        key, raw = arg[2:].split("=", 1)
+        _apply_override(cfg, key, _parse_value(raw))
+    return cfg
+
+
+def flatten_config(cfg, prefix: str = "") -> dict:
+    """Flatten to a dot-keyed dict (for wandb/CSV export)."""
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        key = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(v):
+            out.update(flatten_config(v, key + "."))
+        else:
+            out[key] = v
+    return out
+
+
+def experiment_name(cfg: ExperimentConfig, config_name: str) -> str:
+    """``config-<name>_regularizer-<mode>_seed-<seed>_id-<id>``
+    (reference ``experiments/mnist_ode/main.jl:53-54``)."""
+    return (
+        f"config-{config_name}_regularizer-{cfg.model.regularize}"
+        f"_seed-{cfg.seed}_id-{cfg.train.expt_id}"
+    )

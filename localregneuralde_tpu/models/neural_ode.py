@@ -1,0 +1,194 @@
+"""NeuralODE — the flagship locally-regularized neural ODE layer.
+
+Reference: ``src/layers/neural_ode.jl``. Semantics preserved:
+
+- ``regularize ∈ {'none', 'unbiased', 'biased'}`` (bool coerced to
+  unbiased/none, ``neural_ode.jl:14-16``), ``regularize_type ∈
+  {'error_estimate', 'stiffness_estimate'}``.
+- **unbiased** training: sample ``t1 ~ U(t0, t2)``, make the solver produce
+  ``u(t1)`` via dense output, then take ONE differentiable Tsit5 step from
+  ``(u(t1), t1)`` with a fresh auto-selected dt; its embedded estimate is the
+  regularizer (``neural_ode.jl:68-82``).
+- **biased** training: ``t1`` is drawn uniformly from the solver's accepted
+  step-start grid instead (``neural_ode.jl:92``) — realized here with O(1)
+  memory via in-loop reservoir sampling rather than saving the trajectory.
+- The regularization step's initial state, time, initial derivative
+  (fsalfirst) and dt are all gradient-fenced, matching the reference's
+  non-differentiable integrator re-init (``src/utils.jl:51,60``): the
+  reg-value gradient flows to the *parameters only*, never to the layer
+  input (asserted by tests, reference ``test/runtests.jl:127-131``).
+- The regularization step is always a Tsit5 step regardless of the main
+  solver (``neural_ode.jl:75``).
+- NFE accounting: main solve (2 init + 6/attempt) + 8 for the reg step
+  (6 stages + fsalfirst + init-dt probe), mirroring
+  ``sol.destats.nf + nf2`` (``neural_ode.jl:79``, ``perform_step.jl:31``).
+
+Layer state carries ``{model, nfe, reg_val, rng}``; training/eval mode is a
+static ``training=`` kwarg rather than a state field (documented deviation —
+identical semantics, idiomatic for JAX's static-argument tracing).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Union
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.containers import ArrayAndTime, get_array
+from ..nn.module import Module
+from ..ode.controller import initial_step_size
+from ..ode.solve import odesolve
+from ..ode.step import regularization_value, tsit5_step
+
+_VALID_REGULARIZE = ("none", "unbiased", "biased")
+_VALID_REG_TYPE = ("error_estimate", "stiffness_estimate")
+
+
+class NeuralODE(Module):
+    def __init__(
+        self,
+        model: Module,
+        *,
+        tspan=(0.0, 1.0),
+        regularize: Union[bool, str] = True,
+        regularize_type: str = "error_estimate",
+        rtol: float = 1e-3,
+        atol: float = 1e-6,
+        max_steps: int = 256,
+        checkpoint_every: int = 16,
+        saveat: Optional[Any] = None,
+        adjoint: str = "direct",
+        solver: str = "tsit5",
+    ):
+        if isinstance(regularize, bool):
+            regularize = "unbiased" if regularize else "none"
+        if regularize not in _VALID_REGULARIZE:
+            raise ValueError(f"regularize must be one of {_VALID_REGULARIZE}")
+        if regularize_type not in _VALID_REG_TYPE:
+            raise ValueError(f"regularize_type must be one of {_VALID_REG_TYPE}")
+        if solver != "tsit5":
+            raise ValueError("only 'tsit5' is implemented currently")
+        self.model = model
+        self.tspan = (float(tspan[0]), float(tspan[1]))
+        self.regularize = regularize
+        self.regularize_type = regularize_type
+        self.rtol = float(rtol)
+        self.atol = float(atol)
+        self.max_steps = int(max_steps)
+        self.checkpoint_every = int(checkpoint_every)
+        self.saveat = None if saveat is None else jnp.asarray(saveat)
+        self.adjoint = adjoint
+        self.solver = solver
+
+    def init(self, key):
+        mkey, skey = jax.random.split(key)
+        mp, ms = self.model.init(mkey)
+        state = {
+            "model": ms,
+            "nfe": jnp.asarray(-1, jnp.int32),
+            "reg_val": jnp.asarray(0.0, jnp.float32),
+            "rng": skey,
+        }
+        return {"model": mp}, state
+
+    # -- dynamics: wrap the inner model as stateful f(u, t, p, st) -> (du, st)
+    def _dynamics(self, training: bool):
+        def f(u, t, p, st):
+            y, st_new = self.model(
+                p["model"], st, ArrayAndTime(u, t), training=training
+            )
+            return get_array(y), st_new
+
+        return f
+
+    def apply(self, params, state, x, *, training: bool = False):
+        t0, t2 = self.tspan
+        f = self._dynamics(training)
+        mode = self.regularize if training else "none"
+        key = state["rng"]
+
+        if mode == "none":
+            sol = odesolve(
+                f, x, self.tspan, params,
+                rtol=self.rtol, atol=self.atol, saveat=self.saveat,
+                max_steps=self.max_steps,
+                checkpoint_every=self.checkpoint_every,
+                adjoint=self.adjoint if training else "none",
+                stateful=True, f_state=state["model"],
+            )
+            new_state = {
+                "model": sol.f_state,
+                "nfe": sol.nfe,
+                "reg_val": jnp.asarray(0.0, jnp.float32),
+                "rng": key,
+            }
+            return sol, new_state
+
+        key, tkey, rkey = jax.random.split(key, 3)
+
+        if mode == "unbiased":
+            # Sample t1 ~ U(t0, t2); obtain u(t1) via dense output by
+            # appending t1 to the saveat grid (reference injects t1 into
+            # saveat and strips it afterwards, neural_ode.jl:72,81 /
+            # utils.jl:25-33 — here the extra slot is structural, so no
+            # post-hoc correction is needed).
+            t1 = jax.random.uniform(
+                tkey, (), jnp.float32, minval=t0, maxval=t2
+            )
+            user_saveat = (
+                self.saveat if self.saveat is not None
+                else jnp.asarray([t2], jnp.float32)
+            )
+            saveat_int = jnp.concatenate([user_saveat, t1[None]])
+            sol = odesolve(
+                f, x, self.tspan, params,
+                rtol=self.rtol, atol=self.atol, saveat=saveat_int,
+                max_steps=self.max_steps,
+                checkpoint_every=self.checkpoint_every,
+                adjoint=self.adjoint, stateful=True, f_state=state["model"],
+            )
+            u1 = lax.stop_gradient(sol.ys[-1])
+            # strip the injected t1 slot from the user-visible outputs
+            sol = _replace_ys(sol, sol.ys[:-1], user_saveat)
+        else:  # biased
+            sol = odesolve(
+                f, x, self.tspan, params,
+                rtol=self.rtol, atol=self.atol, saveat=self.saveat,
+                max_steps=self.max_steps,
+                checkpoint_every=self.checkpoint_every,
+                adjoint=self.adjoint, stateful=True, f_state=state["model"],
+                reservoir_key=rkey,
+            )
+            t1 = sol.reservoir_t
+            u1 = lax.stop_gradient(sol.reservoir_u)
+
+        # --- one differentiable Tsit5 step at (u1, t1): the local regularizer
+        t1 = lax.stop_gradient(t1)
+        k1, _ = f(u1, t1, params, sol.f_state)
+        k1 = lax.stop_gradient(k1)  # fsalfirst computed under the init fence
+        dt_r, _ = initial_step_size(
+            f, u1, t1, params, sol.f_state, order=5,
+            rtol=self.rtol, atol=self.atol, f0=k1,
+        )
+        dt_r = lax.stop_gradient(
+            jnp.minimum(dt_r, jnp.asarray(t2, jnp.float32) - t1)
+        )
+        step = tsit5_step(f, u1, t1, dt_r, k1, params, sol.f_state)
+        reg_val = regularization_value(
+            self.regularize_type, step, u1, dt_r, self.atol, self.rtol
+        )
+        nfe = sol.nfe + 8  # 6 stages + fsalfirst + init-dt probe
+
+        new_state = {
+            "model": step.f_state,
+            "nfe": nfe,
+            "reg_val": reg_val,
+            "rng": key,
+        }
+        return sol, new_state
+
+
+def _replace_ys(sol, new_ys, new_ts):
+    return dataclasses.replace(sol, ys=new_ys, ts=new_ts)
