@@ -257,10 +257,16 @@ def odesolve(
         chunk = max(1, min(checkpoint_every, max_steps))
         n_outer = -(-max_steps // chunk)
 
+        # lax.cond executes only the taken branch at runtime (this state is
+        # not batched), so finished solves skip the 6 stage evaluations —
+        # the fixed-capacity scan costs ~actual-steps, not max_steps.
+        def masked_step(s):
+            return lax.cond(s.done, lambda st: st, step_fn, s)
+
         @jax.checkpoint
         def chunk_fn(s, _):
             def inner(s2, _):
-                return step_fn(s2), None
+                return masked_step(s2), None
 
             s, _ = lax.scan(inner, s, None, length=chunk)
             return s, None

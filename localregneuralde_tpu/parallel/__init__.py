@@ -1,0 +1,18 @@
+from .mesh import data_sharding, make_mesh, replicated, shard_batch
+from .sharded_train import (
+    make_param_shardings,
+    make_sharded_train_step,
+    shard_train_state,
+    sharding_rules_for_mlp_tp,
+)
+
+__all__ = [
+    "data_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "make_param_shardings",
+    "make_sharded_train_step",
+    "shard_train_state",
+    "sharding_rules_for_mlp_tp",
+]

@@ -1,0 +1,139 @@
+"""Sharded (DP × TP) training over a named device mesh.
+
+Strategy (additive over the single-device semantics, SURVEY.md §2e):
+
+- **Data parallel**: the batch (leading) dimension of inputs is sharded over
+  the ``data`` mesh axis. Because the loss is a mean over the whole batch
+  tensor and parameters are replicated (or TP-sharded), XLA/GSPMD inserts the
+  gradient ``psum`` over ICI automatically — no hand-written collectives.
+- **Tensor parallel**: wide Dense weights inside the neural-ODE dynamics are
+  sharded column-wise/row-wise over the ``model`` axis via rule-based
+  PartitionSpecs; XLA inserts the activation all-reduce per RK stage.
+
+Note the shared-adaptive-grid semantic survives sharding: the error norm is a
+mean over the full (now distributed) batch tensor, so accept/reject decisions
+stay bitwise-identical across devices under GSPMD (one global scalar).
+"""
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..harness.train import TrainState
+
+
+def sharding_rules_for_mlp_tp(model_axis: str = "model") -> Dict[str, P]:
+    """Tensor-parallel rules for the MLP NeuralODE dynamics: first dynamics
+    layer column-parallel, following layers row-parallel on their input dim.
+    Keys are regexes over '/'-joined param paths."""
+    return {
+        r".*neural_ode/model/model/layer_0/w$": P(None, model_axis),
+        r".*neural_ode/model/model/layer_0/b$": P(model_axis),
+        r".*neural_ode/model/model/layer_\d+/w$": P(model_axis, None),
+    }
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def make_param_shardings(params, mesh: Mesh, rules: Optional[Dict[str, P]] = None):
+    """Map each param leaf to a NamedSharding: first matching rule, else
+    replicated."""
+    rules = rules or {}
+
+    def spec_for(path, leaf):
+        s = _path_str(path)
+        for pattern, spec in rules.items():
+            if re.match(pattern, s):
+                # only apply if divisible; otherwise replicate
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    if leaf.ndim <= dim or leaf.shape[dim] % mesh.shape[axis] != 0:
+                        ok = False
+                if ok and leaf.ndim >= len([a for a in spec]):
+                    return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def make_sharded_train_step(
+    model, loss_fn, optimizer, mesh: Mesh,
+    *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
+) -> Callable:
+    """Jitted train step with explicit input/output shardings.
+
+    ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)`` — identical
+    signature and semantics to the single-device step
+    (``harness.train.make_train_step``), executed SPMD over the mesh.
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(data_axis))
+
+    def step(ts: TrainState, data, w_reg, lr):
+        def objective(params):
+            loss, st_, stats = loss_fn(
+                model, params, ts.state, data, w_reg, training=True
+            )
+            return loss, (st_, stats)
+
+        (loss, (st_, stats)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(ts.params)
+        opt_state = ts.opt_state
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, ts.params)
+        params = optax.apply_updates(ts.params, updates)
+        return (
+            TrainState(
+                params=params, state=st_, opt_state=opt_state,
+                step=ts.step + 1,
+            ),
+            loss,
+            stats,
+        )
+
+    return jax.jit(
+        step,
+        in_shardings=(None, jax.tree_util.tree_map(lambda _: batch_sh, ("x", "y")), repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def shard_train_state(ts: TrainState, mesh: Mesh,
+                      rules: Optional[Dict[str, P]] = None) -> TrainState:
+    """Place params (per rules), optimizer state (matching params), and layer
+    state (replicated) onto the mesh."""
+    param_sh = make_param_shardings(ts.params, mesh, rules)
+    repl = NamedSharding(mesh, P())
+
+    params = jax.tree_util.tree_map(jax.device_put, ts.params, param_sh)
+
+    def put_opt(leaf):
+        return jax.device_put(leaf, repl)
+
+    # optimizer state leaves that mirror param shapes get param shardings;
+    # a simple heuristic: same shape as some param ⇒ same sharding is not
+    # tracked here — replicate moments (correct, just not memory-minimal).
+    opt_state = jax.tree_util.tree_map(put_opt, ts.opt_state)
+    state = jax.tree_util.tree_map(put_opt, ts.state)
+    return TrainState(
+        params=params, state=state, opt_state=opt_state,
+        step=jax.device_put(ts.step, repl),
+    )
