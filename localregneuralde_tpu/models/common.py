@@ -118,8 +118,9 @@ class ReparameterizeLayer(Module):
 
 
 def diffeqsol_to_array(sol):
-    """Last saved state of a solve (reference ``src/utils.jl:37-40``)."""
-    if isinstance(sol, ODESolution):
+    """Last saved state of a solve (reference ``src/utils.jl:37-40``).
+    Accepts ODESolution/SDESolution (anything with ``.ys``)."""
+    if hasattr(sol, "ys"):
         return jax.tree_util.tree_map(lambda y: y[-1], sol.ys)
     if isinstance(sol, ArrayAndTime):
         return get_array(sol)
@@ -129,6 +130,6 @@ def diffeqsol_to_array(sol):
 def diffeqsol_to_timeseries(sol):
     """Stack saved states along a new time axis → (B, T, F...)
     (reference ``src/utils.jl:42-46``; batch-major layout here)."""
-    if isinstance(sol, ODESolution):
+    if hasattr(sol, "ys"):
         return jax.tree_util.tree_map(lambda y: jnp.moveaxis(y, 0, 1), sol.ys)
     return sol

@@ -1,0 +1,195 @@
+"""Harness tests: schedulers (exact formulas), losses, config system,
+checkpointing, dataloader, and tiny end-to-end training runs for every
+experiment family (classification ODE/SDE, CIFAR CNN, latent ODE)."""
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localregneuralde_tpu.harness import (
+    Constant,
+    CosineAnneal,
+    Dataloader,
+    ExponentialDecay,
+    InverseDecay,
+    Step,
+    define_configuration,
+    load_checkpoint,
+    save_checkpoint,
+)
+from localregneuralde_tpu.harness.losses import (
+    accuracy,
+    kl_divergence,
+    log_likelihood_loss,
+    logitcrossentropy,
+)
+
+
+def test_schedulers_formulas():
+    e = ExponentialDecay(2.5, 1.0, 100)
+    assert abs(e(0) - 2.5) < 1e-9
+    assert abs(e(100) - 1.0) < 1e-9
+    i = InverseDecay(1.0, 0.1)
+    assert abs(i(10) - 1.0 / 2.0) < 1e-9
+    s = Step(1.0, 0.1, [10, 20])
+    assert s(5) == 1.0 and abs(s(12) - 0.1) < 1e-12 and abs(s(25) - 0.01) < 1e-12
+    c = CosineAnneal(1.0, 0.1, 100, restart=True)
+    assert abs(c(1) - 1.0) < 1e-9  # peak at cycle start (t is 1-based)
+    assert abs(c(51) - (0.45 * (1 + math.cos(math.pi / 2)) + 0.1)) < 1e-9
+    assert Constant(0.5)(123) == 0.5
+
+
+def test_logitcrossentropy_matches_manual():
+    y_pred = jnp.array([[2.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+    y = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    expected = -(
+        jax.nn.log_softmax(y_pred)[0, 0] + jax.nn.log_softmax(y_pred)[1, 1]
+    ) / 2
+    assert abs(float(logitcrossentropy(y_pred, y)) - float(expected)) < 1e-6
+
+
+def test_accuracy_topk():
+    y_pred = jnp.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    y = jnp.eye(3)[jnp.array([1, 2])]
+    a1, a2 = accuracy(y_pred, y, (1, 2))
+    assert float(a1) == 50.0
+    assert float(a2) == 50.0  # class 2 is ranked 2nd or 3rd: [0.8,0.1,0.1] → top2 = {0, 1 or 2}
+
+
+def test_kl_divergence_zero_at_standard_normal():
+    mu = jnp.zeros((4, 8))
+    logvar = jnp.zeros((4, 8))
+    np.testing.assert_allclose(np.asarray(kl_divergence(mu, logvar)), 0.0)
+
+
+def test_log_likelihood_mask_normalization():
+    dpred = jnp.zeros((2, 5, 3))
+    mask = jnp.ones((2, 5, 3))
+    ll = log_likelihood_loss(dpred, mask)
+    sigma = 0.01
+    per_elem = -np.log(sigma) - np.log(2 * np.pi) / 2
+    np.testing.assert_allclose(np.asarray(ll), per_elem, rtol=1e-5)
+
+
+def test_config_yaml_and_overrides(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "seed: 3\nmodel:\n  regularize: 'unbiased'\n  solver:\n    abstol: 0.01\n"
+    )
+    cfg = define_configuration(
+        ["--model.solver.reltol=0.5", "--train.total_steps=42"], str(p)
+    )
+    assert cfg.seed == 3
+    assert cfg.model.regularize == "unbiased"
+    assert cfg.model.solver.abstol == 0.01
+    assert cfg.model.solver.reltol == 0.5
+    assert cfg.train.total_steps == 42
+    with pytest.raises(KeyError):
+        define_configuration(["--no.such.key=1"], str(p))
+
+
+def test_checkpoint_roundtrip_and_pointers(tmp_path):
+    state = {"a": jnp.arange(3), "nested": {"b": jnp.ones((2, 2))}}
+    save_checkpoint(state, fdir=str(tmp_path), fname="s1.ckpt")
+    save_checkpoint(state, fdir=str(tmp_path), fname="s2.ckpt", is_best=True)
+    cur = load_checkpoint(os.path.join(str(tmp_path), "model_current.ckpt"))
+    best = load_checkpoint(os.path.join(str(tmp_path), "model_best.ckpt"))
+    np.testing.assert_array_equal(cur["a"], np.arange(3))
+    np.testing.assert_array_equal(best["nested"]["b"], np.ones((2, 2)))
+    assert load_checkpoint(os.path.join(str(tmp_path), "nope.ckpt")) is None
+
+
+def test_dataloader_shapes_and_cycle():
+    x = np.arange(100).reshape(100, 1).astype(np.float32)
+    y = np.arange(100).astype(np.int64)
+    dl = Dataloader((x, y), 32, shuffle=True, cycle=True, seed=1)
+    it = iter(dl)
+    batches = [next(it) for _ in range(5)]  # cycles past one epoch (3 batches)
+    assert all(b[0].shape == (32, 1) for b in batches)
+    # shuffling: first batch not the identity order
+    assert not np.array_equal(batches[0][1], np.arange(32))
+    # non-cycling loader terminates
+    dl2 = Dataloader((x, y), 32)
+    assert len(list(dl2)) == 3
+
+
+def _tiny_cfg(model_type="mlp", regularize="unbiased"):
+    from localregneuralde_tpu.harness import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.model.model_type = model_type
+    cfg.model.regularize = regularize
+    cfg.model.image_size = [8, 8]
+    cfg.model.in_channels = 1 if model_type == "mlp" else 3
+    cfg.model.mlp_hidden_state_size = 16
+    cfg.model.solver.abstol = 1e-2
+    cfg.model.solver.reltol = 1e-2
+    cfg.model.solver.max_steps = 32
+    cfg.model.solver.checkpoint_every = 8
+    cfg.dataset.train_batchsize = 16
+    cfg.dataset.eval_batchsize = 64
+    cfg.train.total_steps = 2
+    cfg.train.print_frequency = 1
+    cfg.train.evaluate_every = 2
+    cfg.optimizer.scheduler.lr_scheduler = "constant"
+    return cfg
+
+
+def test_end_to_end_mnist_ode(tmp_path):
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_classification_experiment(cfg, "tiny")
+    assert out["best_eval_acc"] > 0
+    assert os.path.exists(
+        os.path.join(out["log_dir"], "results_train.csv")
+    )
+    assert os.path.exists(
+        os.path.join(out["ckpt_dir"], "model_current.ckpt")
+    )
+    # resume path: a second run restores from the checkpoint
+    cfg2 = _tiny_cfg()
+    cfg2.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg2.train.log_dir = str(tmp_path / "logs2")
+    cfg2.train.total_steps = 3
+    out2 = run_classification_experiment(cfg2, "tiny")
+    assert out2["final_step"] == 3
+
+
+def test_end_to_end_mnist_sde(tmp_path):
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.model.sde = True
+    cfg.model.solver.abstol = 1.4e-1
+    cfg.model.solver.reltol = 1.4e-1
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_classification_experiment(cfg, "tiny_sde")
+    assert out["best_eval_acc"] > 0
+
+
+def test_end_to_end_latent_ode(tmp_path):
+    from localregneuralde_tpu.harness.latent_runner import (
+        run_latent_ode_experiment,
+    )
+
+    cfg = _tiny_cfg("time_series")
+    cfg.model.ts_in_dims = 5
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 6
+    cfg.model.ts_node_dims = 4
+    cfg.dataset.eval_batchsize = 16
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_latent_ode_experiment(cfg, "tiny_ts")
+    assert np.isfinite(out["best_eval_mse"])
