@@ -11,7 +11,12 @@ from .construct import (
     construct_optimizer,
     construct_time_series,
 )
-from .data import Dataloader, get_classification_data, one_hot
+from .data import (
+    Dataloader,
+    get_classification_data,
+    make_dataloader,
+    one_hot,
+)
 from .logging import (
     AverageMeter,
     CSVLogger,
@@ -50,7 +55,7 @@ __all__ = [
     "flatten_config",
     "construct_loss", "construct_model", "construct_optimizer",
     "construct_time_series",
-    "Dataloader", "get_classification_data", "one_hot",
+    "Dataloader", "get_classification_data", "make_dataloader", "one_hot",
     "AverageMeter", "CSVLogger", "ProgressMeter", "create_logger",
     "get_loggable_values", "reset_meters",
     "accuracy", "kl_divergence", "log_likelihood_loss", "logitcrossentropy",

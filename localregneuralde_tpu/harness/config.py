@@ -151,6 +151,8 @@ def _apply_override(cfg, dotted: str, value: Any):
     parts = dotted.split(".")
     obj = cfg
     for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise KeyError(f"unknown override key {dotted!r}")
         obj = getattr(obj, p)
     if not hasattr(obj, parts[-1]):
         raise KeyError(f"unknown override key {dotted!r}")

@@ -188,6 +188,24 @@ def one_hot(y: np.ndarray, num_classes: int) -> np.ndarray:
 # batching + threaded prefetch
 
 
+def make_dataloader(arrays, batch_size, *, backend: str = "auto", **kwargs):
+    """Build a batch loader: the native C++ prefetcher
+    (``native/dataloader.cpp``) when available, else the Python threaded
+    one. Both expose the same iterator contract."""
+    if backend in ("auto", "native"):
+        try:
+            from ..native import NativeDataloader, native_available
+
+            if native_available():
+                return NativeDataloader(arrays, batch_size, **kwargs)
+            if backend == "native":
+                raise RuntimeError("native loader requested but unavailable")
+        except ImportError:
+            if backend == "native":
+                raise
+    return Dataloader(arrays, batch_size, **kwargs)
+
+
 class Dataloader:
     """Shuffling batcher with background-thread prefetch into a bounded
     queue (the ``eachobsparallel`` buffered-channel analog,

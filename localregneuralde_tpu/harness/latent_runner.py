@@ -24,7 +24,7 @@ import numpy as np
 from .checkpoint import load_checkpoint, save_checkpoint
 from .config import ExperimentConfig, experiment_name, flatten_config
 from .construct import construct_loss, construct_optimizer, construct_time_series
-from .data import Dataloader, synthetic_physionet
+from .data import make_dataloader, synthetic_physionet
 from .logging import create_logger, get_loggable_values, reset_meters
 from .train import create_train_state, make_train_step
 
@@ -91,7 +91,7 @@ def run_latent_ode_experiment(
         ) / data.shape[0]
         return mse, st_["neural_ode"]["nfe"]
 
-    train_loader = Dataloader(
+    train_loader = make_dataloader(
         train_arrays, cfg.dataset.train_batchsize, shuffle=True, cycle=True,
         seed=cfg.seed,
     )
@@ -150,7 +150,7 @@ def run_latent_ode_experiment(
 
         if step % cfg.train.evaluate_every == 0 or step == cfg.train.total_steps:
             mses, nfes, count = 0.0, 0.0, 0
-            eval_loader = Dataloader(
+            eval_loader = make_dataloader(
                 test_arrays, cfg.dataset.eval_batchsize, drop_last=True
             )
             for xe, me, dte in eval_loader:

@@ -20,7 +20,7 @@ import numpy as np
 from .checkpoint import load_checkpoint, save_checkpoint
 from .config import ExperimentConfig, experiment_name, flatten_config
 from .construct import construct_loss, construct_model, construct_optimizer
-from .data import Dataloader, get_classification_data, one_hot
+from .data import get_classification_data, make_dataloader, one_hot
 from .logging import create_logger, get_loggable_values, reset_meters
 from .losses import accuracy
 from .train import (
@@ -59,7 +59,7 @@ def run_classification_experiment(
         x_train = normalize(x_train)
         x_test = normalize(x_test)
     nc = cfg.model.num_classes
-    train_loader = Dataloader(
+    train_loader = make_dataloader(
         (x_train, one_hot(y_train, nc)),
         cfg.dataset.train_batchsize,
         shuffle=True,
@@ -175,7 +175,7 @@ def run_classification_experiment(
 
 def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg):
     x_test, y_test = data
-    loader = Dataloader(
+    loader = make_dataloader(
         (x_test, y_test), cfg.dataset.eval_batchsize, drop_last=True
     )
     totals: dict = {}

@@ -61,6 +61,7 @@ class NeuralODE(Module):
         saveat: Optional[Any] = None,
         adjoint: str = "direct",
         solver: str = "tsit5",
+        use_pallas: bool = False,
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -81,6 +82,22 @@ class NeuralODE(Module):
         self.saveat = None if saveat is None else jnp.asarray(saveat)
         self.adjoint = adjoint
         self.solver = solver
+        self.use_pallas = use_pallas
+        if use_pallas:
+            from ..models.common import TDChain
+            from ..nn.basic import Dense
+
+            layers = list(getattr(model, "layers", {}).values())
+            ok = (
+                isinstance(model, TDChain)
+                and len(layers) == 2
+                and all(isinstance(l, Dense) for l in layers)
+            )
+            if not ok:
+                raise ValueError(
+                    "use_pallas=True requires a TDChain of exactly two Dense "
+                    "layers (the fused TD-MLP kernel family)"
+                )
 
     def init(self, key):
         mkey, skey = jax.random.split(key)
@@ -95,6 +112,14 @@ class NeuralODE(Module):
 
     # -- dynamics: wrap the inner model as stateful f(u, t, p, st) -> (du, st)
     def _dynamics(self, training: bool):
+        if self.use_pallas:
+            from ..ops.pallas.fused_mlp import fused_tdmlp
+
+            def f(u, t, p, st):
+                return fused_tdmlp(p["model"], u, t), st
+
+            return f
+
         def f(u, t, p, st):
             y, st_new = self.model(
                 p["model"], st, ArrayAndTime(u, t), training=training
@@ -102,6 +127,23 @@ class NeuralODE(Module):
             return get_array(y), st_new
 
         return f
+
+    def _step_fn(self):
+        """Fused Pallas Tsit5 step (same contract as the generic step)."""
+        if not self.use_pallas:
+            return None
+        from ..ode.step import Tsit5StepResult
+        from ..ops.pallas.fused_mlp import fused_tsit5_step
+
+        def step(fn, u, t, dt, k1, p, f_st):
+            u_new, utilde, k2, k3, k4, k5, k6, k7, g6 = fused_tsit5_step(
+                p["model"], u, t, dt, k1
+            )
+            return Tsit5StepResult(
+                u_new, utilde, (k1, k2, k3, k4, k5, k6, k7), g6, f_st
+            )
+
+        return step
 
     def apply(self, params, state, x, *, training: bool = False):
         t0, t2 = self.tspan
@@ -117,6 +159,7 @@ class NeuralODE(Module):
                 checkpoint_every=self.checkpoint_every,
                 adjoint=self.adjoint if training else "none",
                 stateful=True, f_state=state["model"],
+                step_fn=self._step_fn(),
             )
             new_state = {
                 "model": sol.f_state,
@@ -148,6 +191,7 @@ class NeuralODE(Module):
                 max_steps=self.max_steps,
                 checkpoint_every=self.checkpoint_every,
                 adjoint=self.adjoint, stateful=True, f_state=state["model"],
+                step_fn=self._step_fn(),
             )
             u1 = lax.stop_gradient(sol.ys[-1])
             # strip the injected t1 slot from the user-visible outputs
@@ -159,7 +203,7 @@ class NeuralODE(Module):
                 max_steps=self.max_steps,
                 checkpoint_every=self.checkpoint_every,
                 adjoint=self.adjoint, stateful=True, f_state=state["model"],
-                reservoir_key=rkey,
+                reservoir_key=rkey, step_fn=self._step_fn(),
             )
             t1 = sol.reservoir_t
             u1 = lax.stop_gradient(sol.reservoir_u)
@@ -175,7 +219,11 @@ class NeuralODE(Module):
         dt_r = lax.stop_gradient(
             jnp.minimum(dt_r, jnp.asarray(t2, jnp.float32) - t1)
         )
-        step = tsit5_step(f, u1, t1, dt_r, k1, params, sol.f_state)
+        custom_step = self._step_fn()
+        if custom_step is None:
+            step = tsit5_step(f, u1, t1, dt_r, k1, params, sol.f_state)
+        else:
+            step = custom_step(f, u1, t1, dt_r, k1, params, sol.f_state)
         reg_val = regularization_value(
             self.regularize_type, step, u1, dt_r, self.atol, self.rtol
         )

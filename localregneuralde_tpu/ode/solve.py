@@ -111,6 +111,7 @@ def odesolve(
     stateful: bool = False,
     f_state: Any = None,
     reservoir_key: Optional[jnp.ndarray] = None,
+    step_fn: Optional[Callable] = None,
 ) -> ODESolution:
     """Integrate ``du/dt = f(u, t, p)`` over ``tspan`` with adaptive Tsit5.
 
@@ -127,10 +128,14 @@ def odesolve(
         (early-exit while loop; not reverse-differentiable).
       reservoir_key: PRNG key enabling reservoir sampling of an accepted
         step-start point (for biased regularization).
+      step_fn: optional replacement for the generic Tsit5 step with the same
+        contract (e.g. a fused Pallas kernel, ``ops/pallas/fused_mlp.py``):
+        ``step_fn(f, u, t, dt, k1, p, f_state) -> Tsit5StepResult``.
     """
     if controller is None:
         controller = PIController()
     fn = f if stateful else _wrap_stateless(f)
+    custom_step = step_fn  # the loop body below shadows the name `step_fn`
 
     t0, t_end = tspan
     dtype = jnp.result_type(u0.dtype, jnp.float32)
@@ -186,7 +191,10 @@ def odesolve(
         dt_c = jnp.where(s.done, jnp.ones_like(s.dt), jnp.minimum(s.dt, t_rem))
         is_last = s.dt >= t_rem
 
-        res = tsit5_step(fn, s.u, s.t, dt_c, s.k1, p, s.f_st)
+        if custom_step is None:
+            res = tsit5_step(fn, s.u, s.t, dt_c, s.k1, p, s.f_st)
+        else:
+            res = custom_step(fn, s.u, s.t, dt_c, s.k1, p, s.f_st)
         eest = scaled_error_norm(res.utilde, s.u, res.u_new, atol, rtol)
         eest_c = lax.stop_gradient(eest)
         accept = eest_c <= 1.0

@@ -32,9 +32,9 @@ def sharding_rules_for_mlp_tp(model_axis: str = "model") -> Dict[str, P]:
     layer column-parallel, following layers row-parallel on their input dim.
     Keys are regexes over '/'-joined param paths."""
     return {
-        r".*neural_ode/model/model/layer_0/w$": P(None, model_axis),
-        r".*neural_ode/model/model/layer_0/b$": P(model_axis),
-        r".*neural_ode/model/model/layer_\d+/w$": P(model_axis, None),
+        r".*neural_ode/model/layer_0/w$": P(None, model_axis),
+        r".*neural_ode/model/layer_0/b$": P(model_axis),
+        r".*neural_ode/model/layer_\d+/w$": P(model_axis, None),
     }
 
 
