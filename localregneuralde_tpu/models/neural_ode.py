@@ -69,8 +69,16 @@ class NeuralODE(Module):
             raise ValueError(f"regularize must be one of {_VALID_REGULARIZE}")
         if regularize_type not in _VALID_REG_TYPE:
             raise ValueError(f"regularize_type must be one of {_VALID_REG_TYPE}")
-        if solver != "tsit5":
-            raise ValueError("only 'tsit5' is implemented currently")
+        if solver not in ("tsit5", "vcab3", "vcabm3"):
+            raise ValueError(
+                "solver must be 'tsit5', 'vcab3' or 'vcabm3' "
+                "(reference construct.jl:154-164)"
+            )
+        if solver != "tsit5" and regularize == "biased":
+            raise ValueError(
+                "biased regularization requires the tsit5 main solver "
+                "(reservoir sampling is not implemented for multistep)"
+            )
         self.model = model
         self.tspan = (float(tspan[0]), float(tspan[1]))
         self.regularize = regularize
@@ -145,6 +153,30 @@ class NeuralODE(Module):
 
         return step
 
+    def _solve_main(self, f, x, params, model_state, *, saveat, adjoint,
+                    reservoir_key=None):
+        """Main solve, dispatching on the configured solver. The reg step is
+        always Tsit5 regardless (reference neural_ode.jl:75)."""
+        if self.solver == "tsit5":
+            return odesolve(
+                f, x, self.tspan, params,
+                rtol=self.rtol, atol=self.atol, saveat=saveat,
+                max_steps=self.max_steps,
+                checkpoint_every=self.checkpoint_every,
+                adjoint=adjoint, stateful=True, f_state=model_state,
+                reservoir_key=reservoir_key, step_fn=self._step_fn(),
+            )
+        from ..ode.multistep import adams_solve
+
+        return adams_solve(
+            f, x, self.tspan, params,
+            rtol=self.rtol, atol=self.atol,
+            moulton=(self.solver == "vcabm3"), saveat=saveat,
+            max_steps=self.max_steps,
+            checkpoint_every=self.checkpoint_every,
+            adjoint=adjoint, stateful=True, f_state=model_state,
+        )
+
     def apply(self, params, state, x, *, training: bool = False):
         t0, t2 = self.tspan
         f = self._dynamics(training)
@@ -152,14 +184,9 @@ class NeuralODE(Module):
         key = state["rng"]
 
         if mode == "none":
-            sol = odesolve(
-                f, x, self.tspan, params,
-                rtol=self.rtol, atol=self.atol, saveat=self.saveat,
-                max_steps=self.max_steps,
-                checkpoint_every=self.checkpoint_every,
+            sol = self._solve_main(
+                f, x, params, state["model"], saveat=self.saveat,
                 adjoint=self.adjoint if training else "none",
-                stateful=True, f_state=state["model"],
-                step_fn=self._step_fn(),
             )
             new_state = {
                 "model": sol.f_state,
@@ -185,25 +212,17 @@ class NeuralODE(Module):
                 else jnp.asarray([t2], jnp.float32)
             )
             saveat_int = jnp.concatenate([user_saveat, t1[None]])
-            sol = odesolve(
-                f, x, self.tspan, params,
-                rtol=self.rtol, atol=self.atol, saveat=saveat_int,
-                max_steps=self.max_steps,
-                checkpoint_every=self.checkpoint_every,
-                adjoint=self.adjoint, stateful=True, f_state=state["model"],
-                step_fn=self._step_fn(),
+            sol = self._solve_main(
+                f, x, params, state["model"], saveat=saveat_int,
+                adjoint=self.adjoint,
             )
             u1 = lax.stop_gradient(sol.ys[-1])
             # strip the injected t1 slot from the user-visible outputs
             sol = _replace_ys(sol, sol.ys[:-1], user_saveat)
         else:  # biased
-            sol = odesolve(
-                f, x, self.tspan, params,
-                rtol=self.rtol, atol=self.atol, saveat=self.saveat,
-                max_steps=self.max_steps,
-                checkpoint_every=self.checkpoint_every,
-                adjoint=self.adjoint, stateful=True, f_state=state["model"],
-                reservoir_key=rkey, step_fn=self._step_fn(),
+            sol = self._solve_main(
+                f, x, params, state["model"], saveat=self.saveat,
+                adjoint=self.adjoint, reservoir_key=rkey,
             )
             t1 = sol.reservoir_t
             u1 = lax.stop_gradient(sol.reservoir_u)

@@ -1,0 +1,264 @@
+"""Variable-coefficient Adams multistep solvers (VCAB3 / VCABM3).
+
+The reference exposes ``vcab3``/``vcabm3`` as configurable solver choices for
+the *vanilla* solve path (``experiments/src/construct.jl:154-164``); the
+regularized single step remains Tsit5 (``src/layers/neural_ode.jl:75``).
+These are true variable-step formulations: the order-3 predictor integrates
+the Newton interpolating polynomial of the last three derivative values on
+their (non-uniform) time grid; VCABM3 adds an Adams–Moulton corrector and a
+Milne-style error estimate (corrector − predictor).
+
+Structure: the same bounded masked loop as ``odesolve``; startup uses Tsit5
+steps (inside ``lax.cond``) until two derivative history entries exist.
+Dense output on ``saveat`` uses the derivative polynomial (documented: the
+reference delegates VCABM interpolation to OrdinaryDiffEq; this matches its
+order). NFE: 2 init + 6 per RK startup attempt + 1 (AB) or 2 (ABM) per
+multistep attempt.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.struct import pytree_dataclass
+from ..ops.residuals import error_residuals, internal_norm
+from .controller import PIController, initial_step_size
+from .solve import ODESolution, _wrap_stateless
+from .step import tsit5_step
+
+
+@pytree_dataclass
+class _AdamsState:
+    t: jnp.ndarray
+    dt: jnp.ndarray
+    u: Any
+    qold: jnp.ndarray
+    done: jnp.ndarray
+    nfe: jnp.ndarray
+    naccept: jnp.ndarray
+    nreject: jnp.ndarray
+    ys: Any
+    # derivative history: f at the 3 most recent accepted points (newest 0)
+    f_hist: Any          # (3, *u.shape)
+    t_hist: jnp.ndarray  # (3,)
+    hist_count: jnp.ndarray
+    f_st: Any
+
+
+def _adams_predict(u, t, h, f_hist, t_hist):
+    """Order-3 Adams–Bashforth on a non-uniform grid via Newton divided
+    differences; also returns the order-2 prediction for error control."""
+    f0, f1, f2 = f_hist[0], f_hist[1], f_hist[2]
+    t0, t1, t2 = t_hist[0], t_hist[1], t_hist[2]
+    c0 = f0
+    c1 = (f0 - f1) / (t0 - t1)
+    c2 = ((f0 - f1) / (t0 - t1) - (f1 - f2) / (t1 - t2)) / (t0 - t2)
+    a = t0 - t1
+    i1 = h
+    i2 = h * h / 2
+    i3 = h * h * h / 3 + a * h * h / 2
+    u3 = u + i1 * c0 + i2 * c1 + i3 * c2
+    u2 = u + i1 * c0 + i2 * c1
+    return u3, u2
+
+
+def _moulton_correct(u, t, h, f_new, f_hist, t_hist):
+    """Order-3 Adams–Moulton corrector using nodes (t+h, t, t−a)."""
+    f0, f1 = f_hist[0], f_hist[1]
+    t0, t1 = t_hist[0], t_hist[1]
+    tn = t0 + h
+    c0 = f_new
+    c1 = (f_new - f0) / (tn - t0)
+    c2 = ((f_new - f0) / (tn - t0) - (f0 - f1) / (t0 - t1)) / (tn - t1)
+    # ∫_{t0}^{t0+h} of Newton basis anchored at (tn, t0): with s = t − t0,
+    # (t − tn) = s − h, (t − t0) = s
+    i1 = h
+    i2 = h * h / 2 - h * h  # ∫ (s − h) ds = h²/2 − h²  = −h²/2
+    i3 = h * h * h / 3 - h * h * h / 2  # ∫ s(s − h) ds = h³/3 − h³/2
+    return u + i1 * c0 + i2 * c1 + i3 * c2
+
+
+def adams_solve(
+    f: Callable,
+    u0,
+    tspan,
+    p=None,
+    *,
+    rtol: float = 1e-3,
+    atol: float = 1e-6,
+    moulton: bool = True,
+    saveat: Optional[jnp.ndarray] = None,
+    max_steps: int = 256,
+    checkpoint_every: int = 16,
+    adjoint: str = "direct",
+    controller: Optional[PIController] = None,
+    stateful: bool = False,
+    f_state: Any = None,
+) -> ODESolution:
+    """Integrate with VCAB3 (``moulton=False``) or VCABM3 (``moulton=True``)."""
+    if controller is None:
+        controller = PIController.for_order(3)
+    fn = f if stateful else _wrap_stateless(f)
+
+    t0v, t_end = tspan
+    dtype = jnp.result_type(u0.dtype, jnp.float32)
+    t0v = jnp.asarray(t0v, dtype)
+    t_end = jnp.asarray(t_end, dtype)
+    if saveat is None:
+        saveat_arr = t_end[None]
+    else:
+        saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, dtype))
+    n_save = saveat_arr.shape[0]
+
+    k1_0, f_st0 = fn(u0, t0v, p, f_state)
+    dt_init, extra = initial_step_size(
+        fn, u0, t0v, p, f_state, order=3, rtol=rtol, atol=atol, f0=k1_0
+    )
+    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0v))
+
+    ys0 = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_save,) + x.shape), u0
+    )
+    f_hist0 = jnp.stack([k1_0, k1_0, k1_0])
+    t_hist0 = jnp.stack([t0v, t0v - 1.0, t0v - 2.0])
+
+    s0 = _AdamsState(
+        t=t0v, dt=dt_init, u=u0,
+        qold=jnp.asarray(controller.qoldinit, dtype),
+        done=(t0v >= t_end),
+        nfe=jnp.asarray(1 + extra, jnp.int32),
+        naccept=jnp.asarray(0, jnp.int32),
+        nreject=jnp.asarray(0, jnp.int32),
+        ys=ys0, f_hist=f_hist0, t_hist=t_hist0,
+        hist_count=jnp.asarray(1, jnp.int32),
+        f_st=f_st0,
+    )
+
+    def step_fn(s: _AdamsState) -> _AdamsState:
+        t_rem = t_end - s.t
+        dt_c = jnp.where(s.done, jnp.ones_like(s.dt), jnp.minimum(s.dt, t_rem))
+        is_last = s.dt >= t_rem
+        t_new = jnp.where(is_last, t_end, s.t + dt_c)
+
+        use_rk = s.hist_count < 3
+
+        def rk_branch(_):
+            res = tsit5_step(fn, s.u, s.t, dt_c, s.f_hist[0], p, s.f_st)
+            eest = internal_norm(
+                error_residuals(res.utilde, s.u, res.u_new, atol, rtol)
+            )
+            return res.u_new, res.ks[6], eest, jnp.asarray(6, jnp.int32), res.f_state
+
+        def ab_branch(_):
+            u_pred, u_low = _adams_predict(
+                s.u, s.t, dt_c, s.f_hist, s.t_hist
+            )
+            if moulton:
+                f_new, f_st2 = fn(u_pred, t_new, p, s.f_st)
+                u_corr = _moulton_correct(
+                    s.u, s.t, dt_c, f_new, s.f_hist, s.t_hist
+                )
+                # Milne device: corrector − predictor
+                eest = internal_norm(
+                    error_residuals(u_corr - u_pred, s.u, u_corr, atol, rtol)
+                )
+                # FSAL-style: reuse f_new as next history head after a
+                # cheap correction re-evaluation is skipped (VCABM PECE
+                # with the predictor derivative; documented approximation)
+                return u_corr, f_new, eest, jnp.asarray(1, jnp.int32), f_st2
+            eest = internal_norm(
+                error_residuals(u_pred - u_low, s.u, u_pred, atol, rtol)
+            )
+            f_new, f_st2 = fn(u_pred, t_new, p, s.f_st)
+            return u_pred, f_new, eest, jnp.asarray(1, jnp.int32), f_st2
+
+        u_new, f_new, eest, cost, f_st_new = lax.cond(
+            use_rk, rk_branch, ab_branch, None
+        )
+        eest_c = lax.stop_gradient(eest)
+        accept = eest_c <= 1.0
+        dt_acc, dt_rej, qold_acc = controller.propose(eest_c, dt_c, s.qold)
+        upd = accept & ~s.done
+
+        # dense output: derivative-polynomial (here: cubic Hermite on
+        # (u, f0) → (u_new, f_new), 3rd-order accurate)
+        def interp_at(ts_save):
+            th = jnp.clip((ts_save - s.t) / dt_c, 0.0, 1.0)
+            h00 = 2 * th**3 - 3 * th**2 + 1
+            h10 = th**3 - 2 * th**2 + th
+            h01 = -2 * th**3 + 3 * th**2
+            h11 = th**3 - th**2
+            return (
+                h00 * s.u + h10 * dt_c * s.f_hist[0]
+                + h01 * u_new + h11 * dt_c * f_new
+            )
+
+        y_interp = jax.vmap(interp_at)(saveat_arr)
+        hit = (saveat_arr > s.t) & (saveat_arr <= t_new) & upd
+        ys_new = jnp.where(
+            hit.reshape((n_save,) + (1,) * s.u.ndim), y_interp, s.ys
+        )
+
+        f_hist_new = jnp.where(
+            upd,
+            jnp.stack([f_new, s.f_hist[0], s.f_hist[1]]),
+            s.f_hist,
+        )
+        t_hist_new = jnp.where(
+            upd, jnp.stack([t_new, s.t_hist[0], s.t_hist[1]]), s.t_hist
+        )
+
+        return _AdamsState(
+            t=jnp.where(upd, t_new, s.t),
+            dt=lax.stop_gradient(
+                jnp.where(s.done, s.dt, jnp.where(accept, dt_acc, dt_rej))
+            ),
+            u=jnp.where(upd, u_new, s.u),
+            qold=jnp.where(upd, qold_acc, s.qold),
+            done=s.done | (upd & is_last),
+            nfe=s.nfe + jnp.where(s.done, 0, cost).astype(jnp.int32),
+            naccept=s.naccept + upd.astype(jnp.int32),
+            nreject=s.nreject + (~accept & ~s.done).astype(jnp.int32),
+            ys=ys_new,
+            f_hist=f_hist_new,
+            t_hist=t_hist_new,
+            hist_count=jnp.minimum(s.hist_count + upd.astype(jnp.int32), 3),
+            f_st=jax.tree_util.tree_map(
+                lambda a, b: jnp.where(upd, a, b), f_st_new, s.f_st
+            ),
+        )
+
+    if adjoint == "none":
+        final = lax.while_loop(
+            lambda s: ~s.done & (s.naccept + s.nreject < max_steps),
+            step_fn, s0,
+        )
+    elif adjoint == "direct":
+        chunk = max(1, min(checkpoint_every, max_steps))
+        n_outer = -(-max_steps // chunk)
+
+        def masked(s):
+            return lax.cond(s.done, lambda x: x, step_fn, s)
+
+        @jax.checkpoint
+        def chunk_fn(s, _):
+            def inner(s2, _):
+                return masked(s2), None
+
+            s, _ = lax.scan(inner, s, None, length=chunk)
+            return s, None
+
+        final, _ = lax.scan(chunk_fn, s0, None, length=n_outer)
+    else:
+        raise ValueError(f"unknown adjoint {adjoint!r}")
+
+    return ODESolution(
+        ts=saveat_arr, ys=final.ys, t_final=final.t, y_final=final.u,
+        nfe=final.nfe, naccept=final.naccept, nreject=final.nreject,
+        success=final.done,
+        reservoir_t=final.t, reservoir_u=final.u,
+        f_state=final.f_st,
+    )
