@@ -88,14 +88,16 @@ def main():
 
     rates, nfe_rates = [], []
     for _ in range(N_TRIALS):
-        nfes = 0
+        nfes = []
         t0 = time.perf_counter()
         for _ in range(N_ITERS):
             ts, loss, stats = train_step(ts, (x, y), 1.0, 1e-3)
-            nfes += int(stats["nfe"])  # device sync each iter: honest timing
+            nfes.append(stats["nfe"])  # stays on device; no per-iter sync
+        loss.block_until_ready()
         elapsed = time.perf_counter() - t0
+        total_nfe = int(jnp.sum(jnp.stack(nfes)))
         rates.append(N_ITERS / elapsed)
-        nfe_rates.append(nfes / elapsed)
+        nfe_rates.append(total_nfe / elapsed)
 
     steps_per_sec = statistics.median(rates)
     nfe_per_sec = statistics.median(nfe_rates)

@@ -1,0 +1,144 @@
+"""Continuous (backsolve) adjoint for the adaptive ODE solver.
+
+The reference's default sensitivity algorithm is a continuous adjoint
+(``InterpolatingAdjoint(autojacvec=ZygoteVJP())``,
+``src/layers/neural_ode.jl:11``): the backward pass integrates the adjoint
+ODE instead of storing the forward trajectory. This module provides the
+TPU-native analog as ``odesolve(..., adjoint='backsolve')``:
+
+- forward: the fast early-exit ``while_loop`` integrator (no taping);
+- backward: one augmented adaptive solve in reversed time carrying
+  ``(u, a_u, a_p)`` with ``da_u = −a_uᵀ∂f/∂u dt`` and ``da_p = −a_uᵀ∂f/∂p dt``
+  (per-eval ``jax.vjp`` of the dynamics — the ZygoteVJP analog), flattened to
+  a single state vector via ``ravel_pytree``;
+- saveat cotangents are injected segment-by-segment at their (descending)
+  output times.
+
+Memory is O(state), independent of step count — the right trade for long
+integrations; the default ``adjoint='direct'`` (discretize-through) remains
+the exactness-preferred choice. Stats/reservoir/f_state outputs are
+gradient-fenced under this adjoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from .solve import ODESolution, odesolve
+
+
+def backsolve_odesolve(
+    f: Callable,
+    u0,
+    tspan,
+    p=None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-7,
+    saveat=None,
+    max_steps: int = 256,
+    stateful: bool = False,
+    f_state: Any = None,
+    reservoir_key=None,
+) -> ODESolution:
+    """Adaptive Tsit5 solve whose VJP integrates the adjoint ODE backward."""
+    t0, t_end = float(tspan[0]), float(tspan[1])
+    if saveat is None:
+        saveat_arr = jnp.asarray([t_end], jnp.float32)
+    else:
+        saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, jnp.float32))
+
+    fn = f
+    if stateful:
+        def fn(u, t, p_):  # noqa: F811 — strip state (fenced under backsolve)
+            du, _ = f(u, t, p_, f_state)
+            return du
+
+    solve_kwargs = dict(rtol=rtol, atol=atol, max_steps=max_steps)
+
+    @jax.custom_vjp
+    def core(u0, p, saveat_arr):
+        sol = odesolve(
+            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            **solve_kwargs,
+        )
+        return sol.ys, sol.y_final
+
+    def core_fwd(u0, p, saveat_arr):
+        sol = odesolve(
+            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            **solve_kwargs,
+        )
+        return (sol.ys, sol.y_final), (p, saveat_arr, sol.ys, sol.y_final)
+
+    def core_bwd(res, cts):
+        p, saveat_arr, ys, y_final = res
+        ct_ys, ct_y = cts
+        n_save = saveat_arr.shape[0]
+
+        p_flat, unravel_p = ravel_pytree(p)
+        zero_p = jnp.zeros_like(p_flat)
+
+        def make_aug(u_like):
+            aug0, unravel_aug = ravel_pytree(
+                (u_like, jnp.zeros_like(u_like), zero_p)
+            )
+            return unravel_aug
+
+        unravel_aug = make_aug(y_final)
+
+        def f_aug(vec, tau, _):
+            u, a, _g = unravel_aug(vec)
+            t = -tau
+            du, vjp_fn = jax.vjp(lambda u_, p_: fn(u_, t, p_), u, p)
+            vu, vp = vjp_fn(a)
+            vp_flat, _ = ravel_pytree(vp)
+            out, _ = ravel_pytree((-du, vu, vp_flat))
+            return out
+
+        # events in descending time, cotangents aligned; clip into [t0, t_end]
+        order = jnp.argsort(-saveat_arr)
+        events = jnp.clip(saveat_arr[order], t0, t_end)
+        cts_sorted = ct_ys[order]
+
+        u_end = y_final
+        state, _ = ravel_pytree((u_end, ct_y, zero_p))
+        tau_cur = jnp.asarray(-t_end, jnp.float32)
+
+        for i in range(n_save):
+            tau_next = -events[i]
+            # integrate the augmented system over [tau_cur, tau_next]
+            sol_seg = odesolve(
+                f_aug, state, (tau_cur, tau_next), None, adjoint="none",
+                **solve_kwargs,
+            )
+            state = sol_seg.y_final
+            u_c, a_c, g_c = unravel_aug(state)
+            a_c = a_c + cts_sorted[i]
+            state, _ = ravel_pytree((u_c, a_c, g_c))
+            tau_cur = tau_next
+
+        sol_last = odesolve(
+            f_aug, state, (tau_cur, jnp.asarray(-t0, jnp.float32)), None,
+            adjoint="none", **solve_kwargs,
+        )
+        _, a_final, g_final = unravel_aug(sol_last.y_final)
+        return a_final, unravel_p(g_final), jnp.zeros_like(saveat_arr)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    # assemble the full (stats-bearing) solution; stats come from a fenced
+    # duplicate of the forward solve — XLA CSEs it with core's forward.
+    sol_stats = odesolve(
+        f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
+        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
+        stateful=stateful, f_state=f_state, **solve_kwargs,
+    )
+    ys, y_final = core(u0, p, saveat_arr)
+    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

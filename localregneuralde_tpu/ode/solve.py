@@ -132,6 +132,14 @@ def odesolve(
         contract (e.g. a fused Pallas kernel, ``ops/pallas/fused_mlp.py``):
         ``step_fn(f, u, t, dt, k1, p, f_state) -> Tsit5StepResult``.
     """
+    if adjoint == "backsolve":
+        from .adjoint import backsolve_odesolve
+
+        return backsolve_odesolve(
+            f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
+            max_steps=max_steps, stateful=stateful, f_state=f_state,
+            reservoir_key=reservoir_key,
+        )
     if controller is None:
         controller = PIController()
     fn = f if stateful else _wrap_stateless(f)
