@@ -176,17 +176,36 @@ class NeuralDSDE(Module):
         sqdt = jnp.sqrt(dt_r)
         dW = jax.random.normal(kw, u1.shape, u1.dtype) * sqdt
         dZ = jax.random.normal(kz, u1.shape, u1.dtype) * sqdt
-        step = sri_step(
-            f, g, u1, t1, dt_r, dW, dZ, params, sol.f_state, sol.g_state,
-            self.atol, self.rtol, self.delta,
-        )
+        # the reg step uses the layer's configured solver, matching the
+        # reference's _perform_step dispatch on the main integrator's cache
+        # (neural_sde.jl:96-98 passes n.solver to _get_dsde_integrator)
+        if self.solver in ("sri", "sosri"):
+            step = sri_step(
+                f, g, u1, t1, dt_r, dW, dZ, params, sol.f_state,
+                sol.g_state, self.atol, self.rtol, self.delta,
+            )
+        elif self.solver == "milstein":
+            from ..sde.step import milstein_commute_step
+
+            step = milstein_commute_step(
+                f, g, u1, t1, dt_r, dW, params, sol.f_state, sol.g_state,
+                self.atol, self.rtol,
+            )
+        else:
+            from ..sde.step import lamba_euler_heun_step
+
+            step = lamba_euler_heun_step(
+                f, g, u1, t1, dt_r, dW, params, sol.f_state, sol.g_state,
+                self.atol, self.rtol, self.delta,
+            )
         reg_val = step.eest * dt_r
 
         new_state = {
             "drift": step.f_state,
             "diffusion": step.g_state,
-            "nfe_drift": sol.nfe_drift + 5,  # 4 SRI stages + init probe
-            "nfe_diffusion": sol.nfe_diffusion + 4,
+            # reg-step stage evals + the init-dt drift probe
+            "nfe_drift": sol.nfe_drift + step.nfe_drift + 1,
+            "nfe_diffusion": sol.nfe_diffusion + step.nfe_diffusion,
             "reg_val": reg_val,
             "rng": key,
         }
