@@ -35,6 +35,9 @@ class ModelConfig:
     mlp_hidden_state_size: int = 100
     mlp_num_hidden_layers: int = 1
     mlp_time_dependent: bool = True
+    # fused Pallas TD-MLP kernels ("auto": on for TPU backends when the
+    # dynamics is a 2-layer TDChain; "on"/"off" force)
+    use_pallas: str = "auto"
     # time_series
     ts_in_dims: int = 37
     ts_hidden_dims: int = 40

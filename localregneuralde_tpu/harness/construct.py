@@ -69,6 +69,8 @@ def _node_kwargs(cfg: ExperimentConfig):
 def _construct_mlp_ode(cfg: ExperimentConfig):
     """Flatten → NeuralODE(TDChain MLP) → classifier
     (reference ``construct.jl:180-200``)."""
+    import jax
+
     m = cfg.model
     hsize = m.mlp_hidden_state_size
     td = 1 if m.mlp_time_dependent else 0
@@ -78,9 +80,18 @@ def _construct_mlp_ode(cfg: ExperimentConfig):
         layers.append(Dense(hsize + td, hsize, "tanh"))
     layers.append(Dense(hsize + td, insize))
     dynamics = TDChain(*layers) if m.mlp_time_dependent else Chain(*layers)
+    pallas_ok = m.mlp_time_dependent and m.mlp_num_hidden_layers == 1
+    if m.use_pallas == "on":
+        use_pallas = True
+    elif m.use_pallas == "auto":
+        use_pallas = pallas_ok and jax.default_backend() == "tpu"
+    else:
+        use_pallas = False
     return Chain(
         flatten=Flatten(),
-        neural_ode=NeuralODE(dynamics, **_node_kwargs(cfg)),
+        neural_ode=NeuralODE(
+            dynamics, use_pallas=use_pallas, **_node_kwargs(cfg)
+        ),
         sol_to_arr=WrappedFunction(diffeqsol_to_array),
         classifier=Dense(insize, m.num_classes),
     )

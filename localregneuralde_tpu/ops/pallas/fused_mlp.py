@@ -101,9 +101,15 @@ def _step_kernel(sc_ref, u_ref, k1_ref, w1_ref, b1_ref, w1t_ref, w2_ref,
     g6_ref[:] = g6
 
 
-def _split_params(params) -> Tuple[jnp.ndarray, ...]:
+def _split_params(params, pad_hidden: bool = False) -> Tuple[jnp.ndarray, ...]:
     """TDChain(Dense(F+1→H, tanh), Dense(H+1→F)) params → kernel operands.
-    The last input row of each weight is the time-channel column."""
+    The last input row of each weight is the time-channel column.
+
+    ``pad_hidden`` zero-pads the hidden dim up to a multiple of 128 (MXU
+    lane width) — mathematically exact: padded units see zero weight, zero
+    bias and zero time column, so they output tanh(0)=0 and multiply zero
+    rows of W2. Improves MXU utilization for H like 100.
+    """
     p1 = params["layer_0"]
     p2 = params["layer_1"]
     w1 = p1["w"][:-1]
@@ -112,6 +118,15 @@ def _split_params(params) -> Tuple[jnp.ndarray, ...]:
     w2 = p2["w"][:-1]
     w2t = p2["w"][-1][None, :]
     b2 = p2["b"][None, :]
+    if pad_hidden:
+        h = w1.shape[1]
+        h_pad = -(-h // 128) * 128
+        if h_pad != h:
+            extra = h_pad - h
+            w1 = jnp.pad(w1, ((0, 0), (0, extra)))
+            w1t = jnp.pad(w1t, ((0, 0), (0, extra)))
+            b1 = jnp.pad(b1, ((0, 0), (0, extra)))
+            w2 = jnp.pad(w2, ((0, extra), (0, 0)))
     return w1, b1, w1t, w2, b2, w2t
 
 
@@ -131,6 +146,9 @@ def _pick_tile(batch: int, features: int = 784, n_buffers: int = 20) -> int:
 
 
 def _pure_tdmlp(params, x, s):
+    # NOTE: deliberately unpadded — padding here (inside the custom-VJP
+    # backward, under remat, per scan step) inflates XLA compile time badly
+    # for no measured end-to-end win; the kernels pad independently.
     w1, b1, w1t, w2, b2, w2t = _split_params(params)
     return _eval_mlp(x, s, w1, b1[0], w1t[0], w2, b2[0], w2t[0])
 
@@ -183,7 +201,7 @@ fused_tdmlp.defvjp(_fused_tdmlp_fwd, _fused_tdmlp_bwd)
 
 
 def _fused_tdmlp_impl(params, x, s):
-    w1, b1, w1t, w2, b2, w2t = _split_params(params)
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
     B, F = x.shape
     H = w1.shape[1]
     tb = _pick_tile(B, F, n_buffers=6)
@@ -240,7 +258,7 @@ fused_tsit5_step.defvjp(_fused_step_fwd, _fused_step_bwd)
 
 
 def _fused_step_impl(params, u, t, dt, k1):
-    w1, b1, w1t, w2, b2, w2t = _split_params(params)
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
     B, F = u.shape
     H = w1.shape[1]
     tb = _pick_tile(B, F, n_buffers=20)

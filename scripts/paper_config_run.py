@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Run the reference's exact MNIST MLP configuration (mlp.yml semantics):
+Tsit5, abstol=reltol=1.4e-8, batch 512, Adam 1e-3 constant, w_reg 2.5→1.0
+exponential over the full schedule — comparing regularize none vs unbiased.
+
+Usage: python scripts/paper_config_run.py [steps=1500] [max_steps=512] [out.json]
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from localregneuralde_tpu.harness.config import ExperimentConfig
+from localregneuralde_tpu.harness.construct import (
+    construct_loss,
+    construct_model,
+    construct_optimizer,
+)
+from localregneuralde_tpu.harness.data import one_hot, synthetic_classification
+from localregneuralde_tpu.harness.losses import accuracy
+from localregneuralde_tpu.harness.train import create_train_state, make_train_step
+
+
+def make_cfg(regularize, total_steps, max_steps):
+    cfg = ExperimentConfig()
+    cfg.model.model_type = "mlp"
+    cfg.model.regularize = regularize
+    cfg.model.image_size = [28, 28]
+    cfg.model.in_channels = 1
+    cfg.model.mlp_hidden_state_size = 100
+    cfg.model.solver.abstol = 1.4e-8
+    cfg.model.solver.reltol = 1.4e-8
+    cfg.model.solver.max_steps = max_steps
+    cfg.model.solver.checkpoint_every = 16
+    cfg.loss.w_reg_start = 2.5
+    cfg.loss.w_reg_end = 1.0
+    cfg.loss.w_reg_decay = "exponential"
+    cfg.dataset.train_batchsize = 512
+    cfg.train.total_steps = total_steps
+    cfg.optimizer.optimizer = "adam"
+    cfg.optimizer.learning_rate = 1e-3
+    cfg.optimizer.scheduler.lr_scheduler = "constant"
+    return cfg
+
+
+def run(regularize, steps, max_steps):
+    cfg = make_cfg(regularize, steps, max_steps)
+    model = construct_model(cfg)
+    loss_fn, w_sched = construct_loss(cfg)
+    optimizer, lr_sched = construct_optimizer(cfg)
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed))
+    train_step = make_train_step(model, loss_fn, optimizer)
+
+    x_train, y_train, x_test, y_test = synthetic_classification(
+        (28, 28), 1, 10, n_train=8192, n_test=2048, seed=0
+    )
+    y_oh = one_hot(y_train, 10)
+    rng = np.random.RandomState(0)
+
+    log = []
+    t_start = time.time()
+    for step in range(1, steps + 1):
+        idx = rng.randint(0, len(x_train), 512)
+        xb, yb = jnp.asarray(x_train[idx]), jnp.asarray(y_oh[idx])
+        w = float(w_sched(step)) if regularize != "none" else 0.0
+        ts, loss, stats = train_step(ts, (xb, yb), w, float(lr_sched(step)))
+        if step % 50 == 0 or step == 1:
+            rec = dict(
+                step=step, nfe=int(stats["nfe"]),
+                ce=float(stats["ce_loss"]),
+                acc=float(accuracy(stats["y_pred"], yb)),
+                reg=float(stats["reg_val"]),
+            )
+            log.append(rec)
+            print(f"  [{regularize}] {rec}", flush=True)
+    wall = time.time() - t_start
+
+    # eval NFE on the inference (while-loop) path
+    xe = jnp.asarray(x_test[:1024])
+    ye = jnp.asarray(one_hot(y_test[:1024], 10))
+    loss_e, st_e, stats_e = loss_fn(
+        model, ts.params, ts.state, (xe, ye), 0.0, training=False
+    )
+    return dict(
+        regularize=regularize, log=log, wall_s=wall,
+        final_eval_acc=float(accuracy(stats_e["y_pred"], ye)),
+        final_eval_nfe=int(stats_e["nfe"]),
+    )
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+    max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    out = sys.argv[3] if len(sys.argv) > 3 else "paper_config_run.json"
+    results = []
+    for reg in ("none", "unbiased"):
+        print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}) ===",
+              flush=True)
+        results.append(run(reg, steps, max_steps))
+    base = results[0]["final_eval_nfe"]
+    results[1]["nfe_reduction_vs_none"] = base / max(
+        results[1]["final_eval_nfe"], 1
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    for r in results:
+        print(r["regularize"], "final_nfe", r["final_eval_nfe"], "acc",
+              round(r["final_eval_acc"], 2), "wall_s", round(r["wall_s"], 1))
+
+
+if __name__ == "__main__":
+    main()
