@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...ode.tableaus import Tsit5Tableau as T
+from .fused_mlp_bwd import fused_step_bwd
 
 
 def _interpret() -> bool:
@@ -250,6 +251,18 @@ def _fused_step_fwd(params, u, t, dt, k1):
 
 
 def _fused_step_bwd(res, ct):
+    """Hand-fused Pallas backward (fused_mlp_bwd.py): forward recompute +
+    reverse through all stages + weight-grad accumulation in one kernel.
+    Returns zero cotangents for (t, dt) — exact for every exposed gradient
+    because the solver stop_gradient-fences both (see fused_mlp_bwd
+    docstring; parity asserted in tests). The pure-twin transpose remains
+    available as ``_fused_step_bwd_reference`` for debugging.
+    """
+    params, u, t, dt, k1 = res
+    return fused_step_bwd(params, u, t, dt, k1, tuple(ct))
+
+
+def _fused_step_bwd_reference(res, ct):
     _, vjp = jax.vjp(_pure_step, *res)
     return vjp(tuple(ct))
 
