@@ -78,6 +78,17 @@ def run_classification_experiment(
             initial_step = int(restored["step"]) + 1
             print(f"resumed from {resume_path} at step {initial_step}")
 
+    # warmup: trigger XLA compilation before timing starts
+    # (reference utils.jl:126-137)
+    from .train import warmup_model
+
+    xw = jnp.asarray(x_train[: cfg.dataset.train_batchsize])
+    yw = jnp.asarray(one_hot(y_train[: cfg.dataset.train_batchsize], nc))
+    warmup_model(
+        train_step, eval_step, ts, (xw, yw),
+        float(w_reg_sched(1)), float(lr_sched(1)),
+    )
+
     total_steps = max_steps_override or cfg.train.total_steps
     loggers = create_logger(
         log_dir,
