@@ -26,7 +26,7 @@ from ..nn import (
     Recurrence,
     WrappedFunction,
 )
-from .config import ExperimentConfig, LossConfig, ModelConfig, OptimizerConfig
+from .config import ExperimentConfig
 from .losses import kl_divergence, log_likelihood_loss, logitcrossentropy
 from .schedulers import (
     Constant,

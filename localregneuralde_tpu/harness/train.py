@@ -10,7 +10,6 @@ jitted calls with ``block_until_ready`` fences.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable
 

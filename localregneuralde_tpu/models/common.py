@@ -8,14 +8,11 @@ this framework is batch-major (``(B, F)`` / NHWC), so the reference's
 """
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 
-from ..core.containers import ArrayAndTime, get_array, get_scalar
+from ..core.containers import ArrayAndTime, get_array
 from ..nn.module import Module
-from ..ode.solve import ODESolution
 
 
 class TDChain(Module):

@@ -7,7 +7,7 @@ feature-major ``(F, B)`` / WHCN; the mapping is documented per layer.)
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -78,14 +78,37 @@ class VirtualBrownianTree:
         frac = jnp.where(b > a, (tau - a) / (b - a), 0.0)
         return wa + (wb - wa) * frac
 
+    def wz(self, t):
+        """(W(t), Z(t)) via ONE stacked bridge descent.
+
+        W and Z share the dyadic traversal but use independent per-node
+        noise: each node draws a (2, *shape) normal, channel 0 feeding W
+        and channel 1 the independent Z process. This is the canonical
+        evaluation (``w``/``z`` are views of it), and it halves the descent
+        cost vs two separate trees.
+        """
+        out = self._eval_stacked(t)
+        return out[0], out[1]
+
+    def _eval_stacked(self, t):
+        stacked = VirtualBrownianTree.__new__(VirtualBrownianTree)
+        stacked.key_w = self.key_w
+        stacked.key_z = self.key_z
+        stacked.t0 = self.t0
+        stacked.t1 = self.t1
+        stacked.shape = (2,) + self.shape
+        stacked.dtype = self.dtype
+        stacked.depth = self.depth
+        return stacked._eval(self.key_w, t)
+
     def w(self, t):
-        return self._eval(self.key_w, t)
+        return self.wz(t)[0]
 
     def z(self, t):
-        return self._eval(self.key_z, t)
+        return self.wz(t)[1]
 
     def increments(self, t, dt):
         """(dW, dZ) over [t, t+dt] — consistent across step rejections."""
-        dW = self.w(t + dt) - self.w(t)
-        dZ = self.z(t + dt) - self.z(t)
-        return dW, dZ
+        w0, z0 = self.wz(t)
+        w1, z1 = self.wz(t + dt)
+        return w1 - w0, z1 - z0

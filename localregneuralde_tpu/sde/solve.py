@@ -181,9 +181,11 @@ def sdesolve(
         is_last = s.dt >= t_rem
 
         # Brownian increments over [t, t+dt] from the tree (consistent
-        # under rejection); noise is never differentiated.
-        w_next = lax.stop_gradient(tree.w(s.t + dt_c))
-        z_next = lax.stop_gradient(tree.z(s.t + dt_c))
+        # under rejection); noise is never differentiated. One stacked
+        # descent yields both W and Z.
+        w_next, z_next = tree.wz(s.t + dt_c)
+        w_next = lax.stop_gradient(w_next)
+        z_next = lax.stop_gradient(z_next)
         dW = w_next - s.w_t
         dZ = z_next - s.z_t
 
