@@ -78,6 +78,14 @@ def run_classification_experiment(
             initial_step = int(restored["step"]) + 1
             print(f"resumed from {resume_path} at step {initial_step}")
 
+    # eval-only mode (reference TrainConfig.evaluate)
+    if cfg.train.evaluate:
+        metrics = evaluate_classification(
+            cfg, eval_step, ts, eval_loader_spec, float(w_reg_sched(1))
+        )
+        print(f"[evaluate] {metrics}", flush=True)
+        return {"eval": metrics, "real_data": bool(is_real)}
+
     # warmup: trigger XLA compilation before timing starts
     # (reference utils.jl:126-137)
     from .train import warmup_model

@@ -119,3 +119,29 @@ def test_jit_and_vmap_compatible():
     np.testing.assert_allclose(
         np.asarray(out), np.exp(-1.0) * np.asarray(u0s), rtol=1e-4
     )
+
+
+def test_reservoir_uniform_over_accepted_starts():
+    """The biased-mode reservoir must sample ~uniformly over accepted
+    step-start times (the analog of rand(sol.t[1:end-1]))."""
+    u0 = jnp.array([1.0, 0.5])
+
+    @jax.jit
+    def draw(key):
+        sol = odesolve(
+            _vdp, u0, (0.0, 5.0), None, rtol=1e-4, atol=1e-6,
+            max_steps=64, adjoint="none", reservoir_key=key,
+        )
+        return sol.reservoir_t, sol.naccept
+
+    ts = np.array(
+        [float(draw(jax.random.PRNGKey(i))[0]) for i in range(300)]
+    )
+    n_acc = int(draw(jax.random.PRNGKey(0))[1])
+    assert n_acc >= 5
+    # uniform over step starts in [0, 5): mean ≈ average accepted start.
+    # crude but effective: samples span the interval and aren't clustered
+    # at either end
+    assert ts.min() < 1.0 and ts.max() > 3.0
+    hist, _ = np.histogram(ts, bins=4, range=(0.0, 5.0))
+    assert (hist > 10).all(), hist
