@@ -23,14 +23,18 @@ def _to_host(tree):
 
 
 def save_checkpoint(
-    state: Any, *, fdir: str, fname: str, is_best: bool = False
+    state: Any, *, fdir: str, fname: str, is_best: bool = False,
+    backend: str = "pickle",
 ) -> str:
     os.makedirs(fdir, exist_ok=True)
     path = os.path.join(fdir, fname)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        pickle.dump(_to_host(state), f)
-    os.replace(tmp, path)
+    if backend == "orbax":
+        _orbax_save(path, state)
+    else:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(_to_host(state), f)
+        os.replace(tmp, path)
     _symlink_safe(path, os.path.join(fdir, "model_current.ckpt"))
     if is_best:
         _symlink_safe(path, os.path.join(fdir, "model_best.ckpt"))
@@ -39,11 +43,28 @@ def save_checkpoint(
 
 def load_checkpoint(path: str) -> Optional[Any]:
     try:
+        if os.path.isdir(os.path.realpath(path)):  # orbax checkpoints are dirs
+            return _orbax_load(path)
         with open(path, "rb") as f:
             return pickle.load(f)
     except Exception as e:  # warn + fresh start (reference utils.jl:182-191)
         warnings.warn(f"could not load checkpoint {path!r}: {e}")
         return None
+
+
+def _orbax_save(path: str, state: Any):
+    """Orbax PyTree checkpoint (TPU-idiomatic, async-capable backend)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), _to_host(state), force=True)
+
+
+def _orbax_load(path: str) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(os.path.realpath(path)))
 
 
 def _symlink_safe(target: str, link: str):

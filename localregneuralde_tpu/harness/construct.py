@@ -231,6 +231,7 @@ def _classification_loss(cfg: ExperimentConfig):
             "nfe": nfe,
             "ce_loss": ce_loss,
             "reg_val": reg_val,
+            "solver_success": node_st.get("success", jnp.asarray(True)),
         }
         return loss, st_, stats
 
@@ -258,6 +259,9 @@ def _latent_ode_loss(cfg: ExperimentConfig):
             "kl_div": jnp.mean(kl),
             "nfe": st_["neural_ode"]["nfe"],
             "reg_val": reg_val,
+            "solver_success": st_["neural_ode"].get(
+                "success", jnp.asarray(True)
+            ),
         }
         return loss, st_, stats
 

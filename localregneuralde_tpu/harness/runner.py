@@ -143,6 +143,13 @@ def run_classification_experiment(
         tm["accuracy_top5"].update(float(acc5), bs)
 
         if step % cfg.train.print_frequency == 0:
+            if not bool(stats.get("solver_success", True)):
+                print(
+                    f"WARNING [{step}]: adaptive solve exhausted max_steps "
+                    "(integration truncated; raise solver.max_steps or loosen "
+                    "tolerances)",
+                    flush=True,
+                )
             row = get_loggable_values(tm, loggers["train_header"], step)
             loggers["csv_train"].log(row)
             loggers["wandb"].log(

@@ -115,6 +115,7 @@ class NeuralODE(Module):
             "nfe": jnp.asarray(-1, jnp.int32),
             "reg_val": jnp.asarray(0.0, jnp.float32),
             "rng": skey,
+            "success": jnp.asarray(True),
         }
         return {"model": mp}, state
 
@@ -193,6 +194,7 @@ class NeuralODE(Module):
                 "nfe": sol.nfe,
                 "reg_val": jnp.asarray(0.0, jnp.float32),
                 "rng": key,
+                "success": sol.success,
             }
             return sol, new_state
 
@@ -253,6 +255,7 @@ class NeuralODE(Module):
             "nfe": nfe,
             "reg_val": reg_val,
             "rng": key,
+            "success": sol.success,
         }
         return sol, new_state
 

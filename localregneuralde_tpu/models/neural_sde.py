@@ -83,6 +83,7 @@ class NeuralDSDE(Module):
             "nfe_diffusion": jnp.asarray(-1, jnp.int32),
             "reg_val": jnp.asarray(0.0, jnp.float32),
             "rng": sk,
+            "success": jnp.asarray(True),
         }
         return {"drift": dp, "diffusion": gp}, state
 
@@ -133,6 +134,7 @@ class NeuralDSDE(Module):
                 "nfe_diffusion": sol.nfe_diffusion,
                 "reg_val": jnp.asarray(0.0, jnp.float32),
                 "rng": key,
+                "success": sol.success,
             }
             return sol, new_state
 
@@ -208,5 +210,6 @@ class NeuralDSDE(Module):
             "nfe_diffusion": sol.nfe_diffusion + step.nfe_diffusion,
             "reg_val": reg_val,
             "rng": key,
+            "success": sol.success,
         }
         return sol, new_state

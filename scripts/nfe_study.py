@@ -28,7 +28,7 @@ from localregneuralde_tpu.models import NeuralODE, TDChain, diffeqsol_to_array
 from localregneuralde_tpu.nn import Chain, Dense, Flatten, WrappedFunction
 
 
-def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4):
+def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4, seed=0):
     F, H = 784, 100
     use_pallas = jax.default_backend() == "tpu"
     td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
@@ -58,7 +58,7 @@ def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4):
     cfg.optimizer.learning_rate = 1e-3
     cfg.optimizer.scheduler.lr_scheduler = "constant"
     optimizer, _ = construct_optimizer(cfg)
-    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(seed))
     train_step = make_train_step(model, loss_fn, optimizer)
 
     x_train, y_train, x_test, y_test = synthetic_classification(
