@@ -61,6 +61,12 @@ class ODESolution:
     reservoir_t: jnp.ndarray
     reservoir_u: Any
     f_state: Any
+    # dense forward storage for the interpolating adjoint (None unless
+    # record_knots=True): knot i = (t_i, u_i, k1_i) at accepted step starts
+    # plus the final state.
+    knot_ts: Any = None
+    knot_us: Any = None
+    knot_ks: Any = None
 
 
 @pytree_dataclass
@@ -79,6 +85,9 @@ class _LoopState:
     res_u: Any
     key: jnp.ndarray
     f_st: Any
+    knot_ts: Any
+    knot_us: Any
+    knot_ks: Any
 
 
 def _tree_where(pred, a, b):
@@ -112,6 +121,7 @@ def odesolve(
     f_state: Any = None,
     reservoir_key: Optional[jnp.ndarray] = None,
     step_fn: Optional[Callable] = None,
+    record_knots: bool = False,
 ) -> ODESolution:
     """Integrate ``du/dt = f(u, t, p)`` over ``tspan`` with adaptive Tsit5.
 
@@ -132,6 +142,14 @@ def odesolve(
         contract (e.g. a fused Pallas kernel, ``ops/pallas/fused_mlp.py``):
         ``step_fn(f, u, t, dt, k1, p, f_state) -> Tsit5StepResult``.
     """
+    if adjoint == "interpolating":
+        from .interp_adjoint import interpolating_odesolve
+
+        return interpolating_odesolve(
+            f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
+            max_steps=max_steps, stateful=stateful, f_state=f_state,
+            reservoir_key=reservoir_key, step_fn=step_fn,
+        )
     if adjoint == "backsolve":
         from .adjoint import backsolve_odesolve
 
@@ -176,6 +194,13 @@ def odesolve(
         else jax.random.PRNGKey(0)
     )
 
+    if record_knots:
+        knot_ts0 = jnp.full((max_steps + 1,), t_end, dtype).at[0].set(t0)
+        knot_us0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(u0)
+        knot_ks0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(k1_0)
+    else:
+        knot_ts0 = knot_us0 = knot_ks0 = None
+
     state0 = _LoopState(
         t=t0,
         dt=dt_init,
@@ -191,6 +216,9 @@ def odesolve(
         res_u=u0,
         key=key0,
         f_st=f_st0,
+        knot_ts=knot_ts0,
+        knot_us=knot_us0,
+        knot_ks=knot_ks0,
     )
 
     def step_fn(s: _LoopState) -> _LoopState:
@@ -240,6 +268,22 @@ def odesolve(
         # --- commit ---
         u_next = _tree_where(upd, res.u_new, s.u)
         k1_next = _tree_where(upd, res.ks[6], s.k1)
+        if record_knots:
+            # knot index for this accepted step's END point; on reject/done
+            # rewrite the slot with its own value (in-place slice update —
+            # no full-buffer copy inside the loop)
+            ki = s.naccept + 1
+            knot_ts_n = s.knot_ts.at[ki].set(
+                jnp.where(upd, t_new, s.knot_ts[ki])
+            )
+            knot_us_n = s.knot_us.at[ki].set(
+                jnp.where(upd, res.u_new, s.knot_us[ki])
+            )
+            knot_ks_n = s.knot_ks.at[ki].set(
+                jnp.where(upd, res.ks[6], s.knot_ks[ki])
+            )
+        else:
+            knot_ts_n = knot_us_n = knot_ks_n = None
         f_st_next = _tree_where(upd, res.f_state, s.f_st)
         t_next = jnp.where(upd, t_new, s.t)
         dt_next = jnp.where(
@@ -262,6 +306,9 @@ def odesolve(
             res_u=res_u_new,
             key=key_next,
             f_st=f_st_next,
+            knot_ts=knot_ts_n,
+            knot_us=knot_us_n,
+            knot_ks=knot_ks_n,
         )
 
     if adjoint == "none":
@@ -304,4 +351,7 @@ def odesolve(
         reservoir_t=final.res_t,
         reservoir_u=final.res_u,
         f_state=final.f_st,
+        knot_ts=final.knot_ts,
+        knot_us=final.knot_us,
+        knot_ks=final.knot_ks,
     )
