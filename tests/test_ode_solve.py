@@ -145,3 +145,29 @@ def test_reservoir_uniform_over_accepted_starts():
     assert ts.min() < 1.0 and ts.max() > 3.0
     hist, _ = np.histogram(ts, bins=4, range=(0.0, 5.0))
     assert (hist > 10).all(), hist
+
+
+def test_vmap_gives_per_sample_adaptive_grids():
+    """vmapping the solver yields torchode-style PER-SAMPLE adaptive grids
+    (each batch element gets its own dt sequence and NFE) — the reference
+    only supports one shared grid per batch (SURVEY.md §2e); here both
+    semantics are available: shared (batch inside u) or per-sample (vmap)."""
+    def f(u, t, p):
+        return -p * u  # stiffness varies per sample via p
+
+    @jax.jit
+    def solve_one(u0, p):
+        sol = odesolve(
+            f, u0, (0.0, 1.0), p, rtol=1e-5, atol=1e-7,
+            max_steps=64, adjoint="none",
+        )
+        return sol.y_final, sol.naccept
+
+    u0s = jnp.ones((3, 2))
+    ps = jnp.array([0.5, 5.0, 50.0])  # increasingly fast decay
+    ys, naccs = jax.vmap(solve_one)(u0s, ps)
+    expected = np.exp(-np.asarray(ps))[:, None] * np.ones(2)
+    np.testing.assert_allclose(np.asarray(ys), expected, rtol=1e-4, atol=1e-6)
+    # stiffer samples take more steps: grids really are per-sample
+    naccs = np.asarray(naccs)
+    assert naccs[0] < naccs[1] < naccs[2], naccs
