@@ -68,14 +68,14 @@ def interpolating_odesolve(
     def core(u0, p, saveat_arr):
         sol = odesolve(
             fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, **solve_kwargs,
+            record_knots=True, step_fn=step_fn, **solve_kwargs,
         )
         return sol.ys, sol.y_final
 
     def core_fwd(u0, p, saveat_arr):
         sol = odesolve(
             fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, **solve_kwargs,
+            record_knots=True, step_fn=step_fn, **solve_kwargs,
         )
         res = (
             p, saveat_arr, sol.ys, sol.y_final,
@@ -157,7 +157,7 @@ def interpolating_odesolve(
     sol_stats = odesolve(
         f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
         saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
-        stateful=stateful, f_state=f_state, **solve_kwargs,
+        stateful=stateful, f_state=f_state, step_fn=step_fn, **solve_kwargs,
     )
     ys, y_final = core(u0, p, saveat_arr)
     return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)
