@@ -46,6 +46,7 @@ def backsolve_odesolve(
     stateful: bool = False,
     f_state: Any = None,
     reservoir_key=None,
+    step_fn=None,
 ) -> ODESolution:
     """Adaptive Tsit5 solve whose VJP integrates the adjoint ODE backward."""
     t0, t_end = float(tspan[0]), float(tspan[1])
@@ -66,14 +67,14 @@ def backsolve_odesolve(
     def core(u0, p, saveat_arr):
         sol = odesolve(
             fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            **solve_kwargs,
+            step_fn=step_fn, **solve_kwargs,
         )
         return sol.ys, sol.y_final
 
     def core_fwd(u0, p, saveat_arr):
         sol = odesolve(
             fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            **solve_kwargs,
+            step_fn=step_fn, **solve_kwargs,
         )
         return (sol.ys, sol.y_final), (p, saveat_arr, sol.ys, sol.y_final)
 
@@ -138,7 +139,7 @@ def backsolve_odesolve(
     sol_stats = odesolve(
         f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
         saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
-        stateful=stateful, f_state=f_state, **solve_kwargs,
+        stateful=stateful, f_state=f_state, step_fn=step_fn, **solve_kwargs,
     )
     ys, y_final = core(u0, p, saveat_arr)
     return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

@@ -115,7 +115,7 @@ def interpolating_odesolve(
 
         p_flat, unravel_p = ravel_pytree(p)
         zero_p = jnp.zeros_like(p_flat)
-        aug0, unravel_aug = ravel_pytree((jnp.zeros_like(y_final), zero_p))
+        _, unravel_aug = ravel_pytree((jnp.zeros_like(y_final), zero_p))
 
         def f_aug(vec, tau, _):
             a, _g = unravel_aug(vec)

@@ -156,7 +156,7 @@ def odesolve(
         return backsolve_odesolve(
             f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
             max_steps=max_steps, stateful=stateful, f_state=f_state,
-            reservoir_key=reservoir_key,
+            reservoir_key=reservoir_key, step_fn=step_fn,
         )
     if controller is None:
         controller = PIController()
