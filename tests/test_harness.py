@@ -193,3 +193,45 @@ def test_end_to_end_latent_ode(tmp_path):
     cfg.train.log_dir = str(tmp_path / "logs")
     out = run_latent_ode_experiment(cfg, "tiny_ts")
     assert np.isfinite(out["best_eval_mse"])
+
+
+def test_optimizer_factory_variants():
+    from localregneuralde_tpu.harness import ExperimentConfig
+    from localregneuralde_tpu.harness.construct import construct_optimizer
+
+    for name, extra in [
+        ("adam", {}),
+        ("adamw", {}),
+        ("adamax", {}),
+        ("sgd", {"momentum": 0.9}),
+        ("sgd", {"momentum": 0.9, "nesterov": True}),
+        ("sgd", {}),
+    ]:
+        cfg = ExperimentConfig()
+        cfg.optimizer.optimizer = name
+        for k, v in extra.items():
+            setattr(cfg.optimizer, k, v)
+        cfg.optimizer.weight_decay = 1e-4 if name == "adam" else 0.0
+        opt, sched = construct_optimizer(cfg)
+        params = {"w": jnp.ones((3, 3))}
+        state = opt.init(params)
+        g = {"w": jnp.ones((3, 3))}
+        updates, _ = opt.update(g, state, params)
+        assert jnp.isfinite(updates["w"]).all()
+
+    cfg = ExperimentConfig()
+    cfg.optimizer.optimizer = "nope"
+    with pytest.raises(ValueError):
+        construct_optimizer(cfg)
+
+
+def test_lr_scheduler_factory_variants():
+    from localregneuralde_tpu.harness import ExperimentConfig
+    from localregneuralde_tpu.harness.construct import construct_optimizer
+
+    for kind in ("constant", "step", "exponential", "inverse", "cosine"):
+        cfg = ExperimentConfig()
+        cfg.optimizer.scheduler.lr_scheduler = kind
+        _, sched = construct_optimizer(cfg)
+        assert sched(1) > 0
+        assert sched(1000) > 0
