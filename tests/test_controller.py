@@ -1,0 +1,72 @@
+"""PI controller and initial-dt heuristic unit tests (SURVEY.md §4's
+controller step-sequence coverage)."""
+import jax.numpy as jnp
+import numpy as np
+
+from localregneuralde_tpu.ode import PIController, initial_step_size
+
+
+def test_accept_grows_within_qmax():
+    c = PIController()
+    dt = jnp.asarray(0.1)
+    qold = jnp.asarray(c.qoldinit)
+    # tiny error → maximal growth, capped at qmax
+    dt_acc, _, _ = c.propose(jnp.asarray(1e-12), dt, qold)
+    assert float(dt_acc) <= float(dt) * c.qmax * 1.0001
+    assert float(dt_acc) > float(dt)
+
+
+def test_reject_shrinks_within_qmin():
+    c = PIController()
+    dt = jnp.asarray(0.1)
+    qold = jnp.asarray(c.qoldinit)
+    # huge error → maximal shrink, capped at qmin
+    _, dt_rej, _ = c.propose(jnp.asarray(1e12), dt, qold)
+    assert float(dt_rej) >= float(dt) * c.qmin * 0.9999
+    assert float(dt_rej) < float(dt)
+
+
+def test_eest_near_one_keeps_dt_stable():
+    c = PIController()
+    dt = jnp.asarray(0.1)
+    dt_acc, _, qold = c.propose(jnp.asarray(0.9), dt, jnp.asarray(0.9))
+    # PI control near the boundary: modest adjustment only
+    assert 0.5 * float(dt) < float(dt_acc) < 2.0 * float(dt)
+    assert np.isclose(float(qold), 0.9)
+
+
+def test_nonfinite_error_halves_dt():
+    c = PIController()
+    dt = jnp.asarray(0.1)
+    dt_acc, dt_rej, _ = c.propose(jnp.asarray(jnp.nan), dt, jnp.asarray(1.0))
+    np.testing.assert_allclose(float(dt_acc), 0.05)
+    np.testing.assert_allclose(float(dt_rej), 0.05)
+
+
+def test_pi_memory_damps_first_step_growth():
+    """The PI term (qold^beta2) with qoldinit=1e-4 deliberately limits dt
+    growth on the first accepted step relative to steady-state control —
+    the standard predictive-controller behavior (OrdinaryDiffEq defaults)."""
+    c = PIController()
+    dt = jnp.asarray(0.1)
+    grow_fresh, _, _ = c.propose(jnp.asarray(0.01), dt, jnp.asarray(c.qoldinit))
+    grow_steady, _, _ = c.propose(jnp.asarray(0.01), dt, jnp.asarray(0.95))
+    assert float(grow_fresh) < float(grow_steady)
+
+
+def test_initial_step_size_scales_with_dynamics_speed():
+    def slow(u, t, p, st):
+        return 0.01 * u, st
+
+    def fast(u, t, p, st):
+        return 100.0 * u, st
+
+    u0 = jnp.ones(4)
+    dt_slow, nfe = initial_step_size(
+        slow, u0, jnp.asarray(0.0), None, None, order=5, rtol=1e-3, atol=1e-6
+    )
+    dt_fast, _ = initial_step_size(
+        fast, u0, jnp.asarray(0.0), None, None, order=5, rtol=1e-3, atol=1e-6
+    )
+    assert float(dt_slow) > float(dt_fast)
+    assert nfe == 2
