@@ -188,11 +188,12 @@ def odesolve(
     ys0 = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x, (n_save,) + x.shape), u0
     )
-    key0 = (
-        reservoir_key
-        if reservoir_key is not None
-        else jax.random.PRNGKey(0)
-    )
+    # reservoir buffers only exist when requested — otherwise they'd add a
+    # full state copy to the scan carrier for nothing
+    use_reservoir = reservoir_key is not None
+    key0 = reservoir_key if use_reservoir else jax.random.PRNGKey(0)
+    res_t0 = t0 if use_reservoir else None
+    res_u0 = u0 if use_reservoir else None
 
     if record_knots:
         knot_ts0 = jnp.full((max_steps + 1,), t_end, dtype).at[0].set(t0)
@@ -212,8 +213,8 @@ def odesolve(
         naccept=jnp.asarray(0, jnp.int32),
         nreject=jnp.asarray(0, jnp.int32),
         ys=ys0,
-        res_t=t0,
-        res_u=u0,
+        res_t=res_t0,
+        res_u=res_u0,
         key=key0,
         f_st=f_st0,
         knot_ts=knot_ts0,
@@ -257,13 +258,18 @@ def odesolve(
         )
 
         # --- reservoir sample of accepted step-start points ---
-        key_next, sub = jax.random.split(s.key)
-        cnt = s.naccept + 1
-        take = (
-            jax.random.uniform(sub, (), dtype) * cnt.astype(dtype) < 1.0
-        ) & upd
-        res_t_new = jnp.where(take, s.t, s.res_t)
-        res_u_new = _tree_where(take, s.u, s.res_u)
+        if use_reservoir:
+            key_next, sub = jax.random.split(s.key)
+            cnt = s.naccept + 1
+            take = (
+                jax.random.uniform(sub, (), dtype) * cnt.astype(dtype) < 1.0
+            ) & upd
+            res_t_new = jnp.where(take, s.t, s.res_t)
+            res_u_new = _tree_where(take, s.u, s.res_u)
+        else:
+            key_next = s.key
+            res_t_new = None
+            res_u_new = None
 
         # --- commit ---
         u_next = _tree_where(upd, res.u_new, s.u)
