@@ -53,7 +53,7 @@ def main():
     td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
     node = NeuralODE(
         td, regularize="unbiased", rtol=1e-4, atol=1e-4,
-        max_steps=64, checkpoint_every=8, use_pallas=use_pallas,
+        max_steps=64, checkpoint_every=0, use_pallas=use_pallas,
     )
     model = Chain(
         flatten=Flatten(),

@@ -323,24 +323,34 @@ def odesolve(
 
         final = lax.while_loop(cond, step_fn, state0)
     elif adjoint == "direct":
-        chunk = max(1, min(checkpoint_every, max_steps))
-        n_outer = -(-max_steps // chunk)
-
         # lax.cond executes only the taken branch at runtime (this state is
         # not batched), so finished solves skip the 6 stage evaluations —
         # the fixed-capacity scan costs ~actual-steps, not max_steps.
         def masked_step(s):
             return lax.cond(s.done, lambda st: st, step_fn, s)
 
-        @jax.checkpoint
-        def chunk_fn(s, _):
-            def inner(s2, _):
-                return masked_step(s2), None
+        if checkpoint_every <= 0:
+            # no remat: scan reverse stores per-step residuals
+            # (~(2+n_save)·state each). With the fused Pallas step — whose
+            # custom VJP recomputes its own forward — this avoids a fully
+            # redundant forward recompute per chunk. Memory: O(max_steps·state).
+            def body(s, _):
+                return masked_step(s), None
 
-            s, _ = lax.scan(inner, s, None, length=chunk)
-            return s, None
+            final, _ = lax.scan(body, state0, None, length=max_steps)
+        else:
+            chunk = max(1, min(checkpoint_every, max_steps))
+            n_outer = -(-max_steps // chunk)
 
-        final, _ = lax.scan(chunk_fn, state0, None, length=n_outer)
+            @jax.checkpoint
+            def chunk_fn(s, _):
+                def inner(s2, _):
+                    return masked_step(s2), None
+
+                s, _ = lax.scan(inner, s, None, length=chunk)
+                return s, None
+
+            final, _ = lax.scan(chunk_fn, state0, None, length=n_outer)
     else:
         raise ValueError(f"unknown adjoint {adjoint!r}")
 
