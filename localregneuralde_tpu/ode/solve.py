@@ -142,6 +142,14 @@ def odesolve(
         contract (e.g. a fused Pallas kernel, ``ops/pallas/fused_mlp.py``):
         ``step_fn(f, u, t, dt, k1, p, f_state) -> Tsit5StepResult``.
     """
+    if adjoint == "stored":
+        from .stored_adjoint import stored_odesolve
+
+        return stored_odesolve(
+            f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
+            max_steps=max_steps, stateful=stateful, f_state=f_state,
+            reservoir_key=reservoir_key, step_fn=step_fn,
+        )
     if adjoint == "interpolating":
         from .interp_adjoint import interpolating_odesolve
 

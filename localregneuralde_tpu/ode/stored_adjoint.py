@@ -1,0 +1,178 @@
+"""Stored discretize-through adjoint: cost ∝ accepted steps, both ways.
+
+The 'direct' adjoint pays for the static scan capacity (max_steps) in both
+directions; `lax.cond` masking recovers most of the forward but reverse-mode
+still sweeps every capacity slot. This adjoint eliminates capacity cost
+entirely:
+
+- **forward**: the early-exit ``while_loop`` integrator with
+  ``record_knots=True`` — knot i is ``(t_i, u_i, k1_i)`` at accepted-step
+  boundaries (k1 is the FSAL derivative, so consecutive knots fully describe
+  each accepted step: ``u_{i+1} = step(u_i, t_i, dt_i, k1_i)`` and
+  ``k1_{i+1} = k7`` of that step);
+- **backward**: a reverse ``while_loop`` over ONLY the ``naccept`` recorded
+  steps, transposing one step per iteration via ``jax.vjp`` of the step
+  function — which routes through the hand-fused Pallas backward kernel when
+  the fused step is in use. The FSAL chain is carried explicitly
+  (``a_k``: cotangent on the incoming k1 ≡ previous step's k7); saveat
+  cotangents are injected at the steps whose interval contains each output
+  time, exactly mirroring the forward interpolation.
+
+Rejected attempts contribute nothing to gradients (their outputs are
+discarded by the forward masking), so skipping them is exact. dt/controller
+quantities receive no cotangents, matching the framework-wide fencing.
+Memory: 2 × (max_steps+1) × state knot buffers.
+
+Same exactness class as 'direct' (pure discretize-then-optimize).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from .solve import ODESolution, odesolve
+from .step import tsit5_step
+from .tableaus import tsit5_interp_weights
+
+
+def stored_odesolve(
+    f: Callable,
+    u0,
+    tspan,
+    p=None,
+    *,
+    rtol: float = 1e-7,
+    atol: float = 1e-7,
+    saveat=None,
+    max_steps: int = 256,
+    stateful: bool = False,
+    f_state: Any = None,
+    reservoir_key=None,
+    step_fn=None,
+) -> ODESolution:
+    t0, t_end = float(tspan[0]), float(tspan[1])
+    if saveat is None:
+        saveat_arr = jnp.asarray([t_end], jnp.float32)
+    else:
+        saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, jnp.float32))
+
+    fn = f
+    if stateful:
+        def fn(u, t, p_):  # noqa: F811 — state fenced under this adjoint
+            du, _ = f(u, t, p_, f_state)
+            return du
+
+    def fn_st(u, t, p_, st):
+        return fn(u, t, p_), st
+
+    solve_kwargs = dict(rtol=rtol, atol=atol, max_steps=max_steps)
+
+    def step_out(p_, u, t, dt, k1):
+        """(u_new, (k2..k7)) of one Tsit5 step — the unit the backward
+        transposes. Routes through the fused Pallas step when configured
+        (whose registered custom VJP is the fused backward kernel)."""
+        if step_fn is not None:
+            res = step_fn(fn_st, u, t, dt, k1, p_, None)
+        else:
+            res = tsit5_step(fn_st, u, t, dt, k1, p_, None)
+        return res.u_new, tuple(res.ks[1:])
+
+    @jax.custom_vjp
+    def core(u0, p, saveat_arr):
+        sol = odesolve(
+            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            record_knots=True, step_fn=step_fn, **solve_kwargs,
+        )
+        return sol.ys, sol.y_final
+
+    def core_fwd(u0, p, saveat_arr):
+        sol = odesolve(
+            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            record_knots=True, step_fn=step_fn, **solve_kwargs,
+        )
+        res = (
+            u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_ks,
+            sol.naccept,
+        )
+        return (sol.ys, sol.y_final), res
+
+    def core_bwd(res, cts):
+        u0, p, saveat_arr, knot_ts, knot_us, knot_ks, naccept = res
+        ct_ys, ct_y = cts
+        p_flat, unravel_p = ravel_pytree(p)
+
+        def body(carry):
+            j, a_u, a_k, a_p = carry
+            t = knot_ts[j]
+            tn = knot_ts[j + 1]
+            dt = tn - t
+            u = knot_us[j]
+            k1 = knot_ks[j]
+
+            # saveat cotangents whose output time falls inside this step:
+            # y_s = u + dt·Σ_m b_m(θ_s)·k_m  (m = 1..7, b from the Tsit5
+            # free interpolant — identical to the forward fill)
+            theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
+            hit = ((saveat_arr > t) & (saveat_arr <= tn)).astype(u.dtype)
+            ct_hit = ct_ys * hit.reshape((-1,) + (1,) * u.ndim)
+            bs = tsit5_interp_weights(theta)  # 7 × (n_save,)
+            d_u_interp = jnp.sum(ct_hit, axis=0)
+
+            def k_ct(m):
+                w = (dt * bs[m] * hit).reshape((-1,) + (1,) * u.ndim)
+                return jnp.sum(w * ct_ys, axis=0)
+
+            d_unew = a_u
+            d_ks = (
+                k_ct(1), k_ct(2), k_ct(3), k_ct(4), k_ct(5),
+                k_ct(6) + a_k,  # k7 feeds the next step's k1 (FSAL)
+            )
+            _, vjp = jax.vjp(step_out, p, u, t, dt, k1)
+            d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
+            d_p_flat, _ = ravel_pytree(d_p)
+            return (
+                j - 1,
+                d_u + d_u_interp,
+                d_k1 + k_ct(0),
+                a_p + d_p_flat,
+            )
+
+        carry0 = (
+            naccept - 1,
+            ct_y,
+            jnp.zeros_like(u0),
+            jnp.zeros_like(p_flat),
+        )
+        j_f, a_u, a_k, a_p = lax.while_loop(
+            lambda c: c[0] >= 0, body, carry0
+        )
+
+        # close the FSAL chain: k1_0 = f(u0, t0, p)
+        _, vjp0 = jax.vjp(lambda u_, p_: fn(u_, jnp.asarray(t0), p_), u0, p)
+        d_u0_k, d_p_k = vjp0(a_k)
+        d_p_k_flat, _ = ravel_pytree(d_p_k)
+
+        # saveat times at/before t0 report u0 directly
+        pre = (saveat_arr <= t0).astype(u0.dtype)
+        d_u0_pre = jnp.sum(
+            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
+        )
+
+        d_u0 = a_u + d_u0_k + d_u0_pre
+        d_p_total = unravel_p(a_p + d_p_k_flat)
+        return d_u0, d_p_total, jnp.zeros_like(saveat_arr)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    sol_stats = odesolve(
+        f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
+        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
+        stateful=stateful, f_state=f_state, step_fn=step_fn, **solve_kwargs,
+    )
+    ys, y_final = core(u0, p, saveat_arr)
+    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

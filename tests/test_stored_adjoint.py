@@ -1,0 +1,99 @@
+"""Stored adjoint tests: exact parity with the direct (discretize-through)
+adjoint — both are pure optimize-then-discretize, so they agree to fp
+rounding — including saveat cotangents, the fused-kernel route, and
+NeuralODE's regularized path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localregneuralde_tpu.models import NeuralODE, TDChain, diffeqsol_to_array
+from localregneuralde_tpu.nn import Chain, Dense
+from localregneuralde_tpu.ode import odesolve
+
+
+def _f(u, t, p):
+    return jnp.tanh(p["w"] @ u + p["b"]) - 0.5 * u
+
+
+def _setup():
+    key = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(key, (4, 4)) * 0.5, "b": jnp.zeros(4)}
+    u0 = jax.random.normal(jax.random.PRNGKey(1), (4,))
+    return u0, p
+
+
+def _make_loss(adjoint):
+    def loss(u0, p):
+        sol = odesolve(
+            _f, u0, (0.0, 1.0), p, rtol=1e-7, atol=1e-9, max_steps=128,
+            saveat=jnp.array([0.0, 0.4, 1.0]), adjoint=adjoint,
+        )
+        return (
+            jnp.sum(sol.y_final ** 2)
+            + jnp.sum(sol.ys[1] ** 2)
+            + jnp.sum(sol.ys[0])  # saveat at t0 → direct u0 path
+        )
+
+    return loss
+
+
+def test_stored_matches_direct_to_rounding():
+    u0, p = _setup()
+    gd = jax.jit(jax.grad(_make_loss("direct"), argnums=(0, 1)))(u0, p)
+    gs = jax.jit(jax.grad(_make_loss("stored"), argnums=(0, 1)))(u0, p)
+    np.testing.assert_allclose(
+        np.asarray(gd[0]), np.asarray(gs[0]), rtol=1e-4, atol=1e-6
+    )
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gd[1][k]), np.asarray(gs[1][k]), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_stored_primal_identical_to_forward():
+    u0, p = _setup()
+    assert float(_make_loss("none")(u0, p)) == float(
+        _make_loss("stored")(u0, p)
+    )
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_neural_ode_with_stored_adjoint(use_pallas):
+    F, H, B = 16, 8, 4
+    dyn = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    node = NeuralODE(
+        dyn, regularize="unbiased", adjoint="stored",
+        rtol=1e-3, atol=1e-5, max_steps=32, use_pallas=use_pallas,
+    )
+    ps, st = node.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F))
+
+    def loss(ps, x):
+        sol, st_ = node(ps, st, x, training=True)
+        return jnp.sum(diffeqsol_to_array(sol)) + st_["reg_val"]
+
+    gp, gx = jax.jit(jax.grad(loss, argnums=(0, 1)))(ps, x)
+    leaves = np.concatenate(
+        [np.ravel(np.asarray(l)) for l in jax.tree_util.tree_leaves(gp)]
+    )
+    assert np.isfinite(leaves).all() and (leaves != 0).any()
+    assert np.isfinite(np.asarray(gx)).all()
+
+    # stored vs direct on the same layer: gradients agree
+    node_d = NeuralODE(
+        dyn, regularize="unbiased", adjoint="direct",
+        rtol=1e-3, atol=1e-5, max_steps=32, use_pallas=use_pallas,
+    )
+
+    def loss_d(ps, x):
+        sol, st_ = node_d(ps, st, x, training=True)
+        return jnp.sum(diffeqsol_to_array(sol)) + st_["reg_val"]
+
+    gp_d, _ = jax.jit(jax.grad(loss_d, argnums=(0, 1)))(ps, x)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gp_d)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
