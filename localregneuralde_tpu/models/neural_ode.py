@@ -59,7 +59,7 @@ class NeuralODE(Module):
         max_steps: int = 256,
         checkpoint_every: int = 16,
         saveat: Optional[Any] = None,
-        adjoint: str = "direct",
+        adjoint: str = "stored",
         solver: str = "tsit5",
         use_pallas: bool = False,
     ):
@@ -169,13 +169,16 @@ class NeuralODE(Module):
             )
         from ..ode.multistep import adams_solve
 
+        # multistep solvers support the scan-based adjoint only; continuous/
+        # stored adjoints fall back to discretize-through
+        adams_adjoint = adjoint if adjoint in ("none", "direct") else "direct"
         return adams_solve(
             f, x, self.tspan, params,
             rtol=self.rtol, atol=self.atol,
             moulton=(self.solver == "vcabm3"), saveat=saveat,
             max_steps=self.max_steps,
-            checkpoint_every=self.checkpoint_every,
-            adjoint=adjoint, stateful=True, f_state=model_state,
+            checkpoint_every=max(self.checkpoint_every, 1),
+            adjoint=adams_adjoint, stateful=True, f_state=model_state,
         )
 
     def apply(self, params, state, x, *, training: bool = False):
