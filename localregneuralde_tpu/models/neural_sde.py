@@ -51,7 +51,7 @@ class NeuralDSDE(Module):
         max_steps: int = 256,
         checkpoint_every: int = 16,
         saveat: Optional[Any] = None,
-        adjoint: str = "direct",
+        adjoint: str = "stored",
         solver: str = "sri",
         delta: float = 1 / 6,
     ):

@@ -43,6 +43,10 @@ class SDESolution:
     reservoir_u: Any
     f_state: Any
     g_state: Any
+    # dense forward storage for the stored adjoint (None unless
+    # record_knots=True): knot i = (t_i, u_i) at accepted-step boundaries
+    knot_ts: Any = None
+    knot_us: Any = None
 
 
 @pytree_dataclass
@@ -64,6 +68,8 @@ class _SDELoopState:
     z_t: Any
     f_st: Any
     g_st: Any
+    knot_ts: Any
+    knot_us: Any
 
 
 def _wrap_stateless(fn: Callable) -> Callable:
@@ -99,8 +105,18 @@ def sdesolve(
     g_state: Any = None,
     reservoir_key: Optional[jnp.ndarray] = None,
     brownian_depth: int = 24,
+    record_knots: bool = False,
 ) -> SDESolution:
     """Integrate ``du = f dt + g dW`` (diagonal noise) over ``tspan``."""
+    if adjoint == "stored":
+        from .stored_adjoint import stored_sdesolve
+
+        return stored_sdesolve(
+            f, g, u0, tspan, p, noise_key=noise_key, rtol=rtol, atol=atol,
+            solver=solver, delta=delta, saveat=saveat, max_steps=max_steps,
+            stateful=stateful, f_state=f_state, g_state=g_state,
+            reservoir_key=reservoir_key, brownian_depth=brownian_depth,
+        )
     if solver not in _SOLVERS:
         raise ValueError(f"unknown SDE solver {solver!r}; one of {list(_SOLVERS)}")
     order = _SOLVERS[solver]
@@ -150,6 +166,12 @@ def sdesolve(
     )
     key0 = reservoir_key if reservoir_key is not None else jax.random.PRNGKey(0)
 
+    if record_knots:
+        knot_ts0 = jnp.full((max_steps + 1,), t_end, dtype).at[0].set(t0)
+        knot_us0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(u0)
+    else:
+        knot_ts0 = knot_us0 = None
+
     state0 = _SDELoopState(
         t=t0,
         dt=dt_init,
@@ -168,6 +190,8 @@ def sdesolve(
         z_t=jnp.zeros_like(u0),
         f_st=f_state,
         g_st=g_state,
+        knot_ts=knot_ts0,
+        knot_us=knot_us0,
     )
 
     nf_step, ng_step = {
@@ -231,6 +255,17 @@ def sdesolve(
         res_t_new = jnp.where(take, s.t, s.res_t)
         res_u_new = jnp.where(take, s.u, s.res_u)
 
+        if record_knots:
+            ki = s.naccept + 1
+            knot_ts_n = s.knot_ts.at[ki].set(
+                jnp.where(upd, t_new, s.knot_ts[ki])
+            )
+            knot_us_n = s.knot_us.at[ki].set(
+                jnp.where(upd, res.u_new, s.knot_us[ki])
+            )
+        else:
+            knot_ts_n = knot_us_n = None
+
         where = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
             lambda x, y: jnp.where(upd, x, y), a, b
         )
@@ -252,6 +287,8 @@ def sdesolve(
             z_t=jnp.where(upd, z_next, s.z_t),
             f_st=where(res.f_state, s.f_st),
             g_st=where(res.g_state, s.g_st),
+            knot_ts=knot_ts_n,
+            knot_us=knot_us_n,
         )
 
     if adjoint == "none":
@@ -293,4 +330,6 @@ def sdesolve(
         reservoir_u=final.res_u,
         f_state=final.f_st,
         g_state=final.g_st,
+        knot_ts=final.knot_ts,
+        knot_us=final.knot_us,
     )

@@ -1,0 +1,165 @@
+"""Stored discretize-through adjoint for the SDE solver.
+
+Mirror of ``ode/stored_adjoint.py`` for the stochastic stack: the forward is
+the early-exit ``while_loop`` recording ``(t, u)`` knots at accepted-step
+boundaries; the backward is a reverse ``while_loop`` over ONLY the
+``naccept`` recorded steps, transposing one SRI/Milstein/Euler–Heun step per
+iteration via ``jax.vjp``. The Brownian increments are *recomputed* from the
+virtual Brownian tree (a pure function of (key, t), so the backward sees
+exactly the forward's noise) and never differentiated. Saveat cotangents
+split linearly (the forward's RODESolution-style interpolation):
+``y_s = u + θ(u_new − u)`` ⇒ ``d_u += (1−θ)·ct``, ``d_u_new += θ·ct``.
+
+dt/controller quantities receive no cotangents (framework-wide fencing);
+``f_state``/``g_state`` are fenced (BatchNorm-style state is write-only in
+training). Memory: (max_steps+1) × state knots.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.flatten_util import ravel_pytree
+
+from .brownian import VirtualBrownianTree
+from .solve import SDESolution, sdesolve
+from .step import lamba_euler_heun_step, milstein_commute_step, sri_step
+
+
+def stored_sdesolve(
+    f: Callable,
+    g: Callable,
+    u0,
+    tspan,
+    p=None,
+    *,
+    noise_key,
+    rtol: float = 1e-2,
+    atol: float = 1e-2,
+    solver: str = "sri",
+    delta: float = 1 / 6,
+    saveat=None,
+    max_steps: int = 256,
+    stateful: bool = False,
+    f_state: Any = None,
+    g_state: Any = None,
+    reservoir_key=None,
+    brownian_depth: int = 24,
+) -> SDESolution:
+    t0, t_end = float(tspan[0]), float(tspan[1])
+    if saveat is None:
+        saveat_arr = jnp.asarray([t_end], jnp.float32)
+    else:
+        saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, jnp.float32))
+
+    fn, gn = f, g
+    if stateful:
+        def fn(u, t, p_):  # noqa: F811 — state fenced under this adjoint
+            du, _ = f(u, t, p_, f_state)
+            return du
+
+        def gn(u, t, p_):  # noqa: F811
+            du, _ = g(u, t, p_, g_state)
+            return du
+
+    def fn_st(u, t, p_, st):
+        return fn(u, t, p_), st
+
+    def gn_st(u, t, p_, st):
+        return gn(u, t, p_), st
+
+    tree = VirtualBrownianTree(
+        noise_key, t0, t_end, u0.shape,
+        jnp.result_type(u0.dtype, jnp.float32), depth=brownian_depth,
+    )
+
+    solve_kwargs = dict(
+        noise_key=noise_key, rtol=rtol, atol=atol, solver=solver,
+        delta=delta, max_steps=max_steps, brownian_depth=brownian_depth,
+    )
+
+    def step_out(p_, u, t, dt, dW, dZ):
+        if solver in ("sri", "sosri"):
+            res = sri_step(
+                fn_st, gn_st, u, t, dt, dW, dZ, p_, None, None,
+                atol, rtol, delta,
+            )
+        elif solver == "milstein":
+            res = milstein_commute_step(
+                fn_st, gn_st, u, t, dt, dW, p_, None, None, atol, rtol
+            )
+        else:
+            res = lamba_euler_heun_step(
+                fn_st, gn_st, u, t, dt, dW, p_, None, None,
+                atol, rtol, delta,
+            )
+        return res.u_new
+
+    @jax.custom_vjp
+    def core(u0, p, saveat_arr):
+        sol = sdesolve(
+            fn, gn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            record_knots=True, **solve_kwargs,
+        )
+        return sol.ys, sol.y_final
+
+    def core_fwd(u0, p, saveat_arr):
+        sol = sdesolve(
+            fn, gn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
+            record_knots=True, **solve_kwargs,
+        )
+        res = (u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.naccept)
+        return (sol.ys, sol.y_final), res
+
+    def core_bwd(res, cts):
+        u0, p, saveat_arr, knot_ts, knot_us, naccept = res
+        ct_ys, ct_y = cts
+        p_flat, unravel_p = ravel_pytree(p)
+
+        def body(carry):
+            j, a_u, a_p = carry
+            t = knot_ts[j]
+            tn = knot_ts[j + 1]
+            dt = tn - t
+            u = knot_us[j]
+            w0, z0 = tree.wz(t)
+            w1, z1 = tree.wz(tn)
+            dW = lax.stop_gradient(w1 - w0)
+            dZ = lax.stop_gradient(z1 - z0)
+
+            # linear saveat interpolation cotangent split
+            theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
+            hit = ((saveat_arr > t) & (saveat_arr <= tn)).astype(u.dtype)
+            shape = (-1,) + (1,) * u.ndim
+            ct_hit = ct_ys * hit.reshape(shape)
+            d_u_interp = jnp.sum(
+                (1.0 - theta).reshape(shape) * ct_hit, axis=0
+            )
+            d_unew_interp = jnp.sum(theta.reshape(shape) * ct_hit, axis=0)
+
+            _, vjp = jax.vjp(step_out, p, u, t, dt, dW, dZ)
+            d_p, d_u, _dt_, _ddt, _dw, _dz = vjp(a_u + d_unew_interp)
+            d_p_flat, _ = ravel_pytree(d_p)
+            return (j - 1, d_u + d_u_interp, a_p + d_p_flat)
+
+        carry0 = (naccept - 1, ct_y, jnp.zeros_like(p_flat))
+        _, a_u, a_p = lax.while_loop(lambda c: c[0] >= 0, body, carry0)
+
+        pre = (saveat_arr <= t0).astype(u0.dtype)
+        d_u0_pre = jnp.sum(
+            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
+        )
+        return a_u + d_u0_pre, unravel_p(a_p), jnp.zeros_like(saveat_arr)
+
+    core.defvjp(core_fwd, core_bwd)
+
+    sol_stats = sdesolve(
+        f, g, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
+        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
+        stateful=stateful, f_state=f_state, g_state=g_state, **solve_kwargs,
+    )
+    ys, y_final = core(u0, p, saveat_arr)
+    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

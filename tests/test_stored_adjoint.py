@@ -97,3 +97,39 @@ def test_neural_ode_with_stored_adjoint(use_pallas):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+def test_sde_stored_matches_direct():
+    from localregneuralde_tpu.sde import sdesolve
+
+    def f(u, t, p):
+        return jnp.tanh(p["w"] @ u) - 0.5 * u
+
+    def g(u, t, p):
+        return 0.2 * u
+
+    p = {"w": jax.random.normal(jax.random.PRNGKey(0), (4, 4)) * 0.5}
+    u0 = jnp.ones(4)
+    nk = jax.random.PRNGKey(5)
+
+    def make_loss(adj):
+        def loss(u0, p):
+            sol = sdesolve(
+                f, g, u0, (0.0, 1.0), p, noise_key=nk, rtol=1e-2, atol=1e-2,
+                saveat=jnp.array([0.5, 1.0]), max_steps=128, adjoint=adj,
+            )
+            return jnp.sum(sol.y_final ** 2) + jnp.sum(sol.ys[0] ** 2)
+
+        return loss
+
+    assert float(make_loss("direct")(u0, p)) == float(
+        make_loss("stored")(u0, p)
+    )
+    gd = jax.jit(jax.grad(make_loss("direct"), argnums=(0, 1)))(u0, p)
+    gs = jax.jit(jax.grad(make_loss("stored"), argnums=(0, 1)))(u0, p)
+    np.testing.assert_allclose(
+        np.asarray(gd[0]), np.asarray(gs[0]), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd[1]["w"]), np.asarray(gs[1]["w"]), rtol=1e-4, atol=1e-6
+    )
