@@ -122,3 +122,28 @@ def test_rng_advances_between_calls():
     _, st1 = node(ps, st, x, training=True)
     _, st2 = node(ps, st1, x, training=True)
     assert float(st1["reg_val"]) != float(st2["reg_val"])
+
+
+def test_constructor_validation():
+    dyn = Chain(Dense(2, 2))
+    with pytest.raises(ValueError):
+        NeuralODE(dyn, regularize="bogus")
+    with pytest.raises(ValueError):
+        NeuralODE(dyn, regularize_type="bogus")
+    with pytest.raises(ValueError):
+        NeuralODE(dyn, solver="rk4")
+    with pytest.raises(ValueError):
+        NeuralODE(dyn, use_pallas=True)  # not a 2-layer TDChain
+    # bool coercion (reference neural_ode.jl:14-16)
+    assert NeuralODE(dyn, regularize=True).regularize == "unbiased"
+    assert NeuralODE(dyn, regularize=False).regularize == "none"
+
+
+def test_unknown_adjoint_raises():
+    from localregneuralde_tpu.ode import odesolve
+
+    with pytest.raises(ValueError):
+        odesolve(
+            lambda u, t, p: -u, jnp.ones(2), (0.0, 1.0),
+            adjoint="bogus", max_steps=8,
+        )
