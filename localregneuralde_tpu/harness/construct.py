@@ -55,6 +55,11 @@ def construct_model(cfg: ExperimentConfig):
 
 def _node_kwargs(cfg: ExperimentConfig):
     s = cfg.model.solver
+    if s.ode_solver not in ("tsit5", "vcab3", "vcabm3"):
+        raise ValueError(
+            f"unknown ode_solver {s.ode_solver!r}; supported: tsit5, vcab3, "
+            "vcabm3 (reference construct.jl:154-164)"
+        )
     return dict(
         rtol=s.reltol,
         atol=s.abstol,
@@ -62,7 +67,7 @@ def _node_kwargs(cfg: ExperimentConfig):
         checkpoint_every=s.checkpoint_every,
         regularize=cfg.model.regularize,
         regularize_type=cfg.model.regularize_type,
-        solver=s.ode_solver if s.ode_solver == "tsit5" else "tsit5",
+        solver=s.ode_solver,
     )
 
 

@@ -235,3 +235,33 @@ def test_lr_scheduler_factory_variants():
         _, sched = construct_optimizer(cfg)
         assert sched(1) > 0
         assert sched(1000) > 0
+
+
+def test_solver_config_dispatches_multistep(monkeypatch):
+    """A config with ode_solver=vcabm3 must actually integrate with VCABM3
+    (reference construct.jl:154-164 honors the YAML solver choice)."""
+    import localregneuralde_tpu.ode.multistep as multistep
+    from localregneuralde_tpu.harness.construct import construct_model
+
+    calls = {"n": 0}
+    real = multistep.adams_solve
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(multistep, "adams_solve", spy)
+
+    cfg = _tiny_cfg(regularize="none")
+    cfg.model.solver.ode_solver = "vcabm3"
+    model = construct_model(cfg)
+    key = jax.random.PRNGKey(0)
+    params, state = model.init(key)
+    x = jnp.ones((4, 8, 8, 1))
+    y, _ = model(params, state, x, training=False)
+    assert calls["n"] >= 1
+    assert jnp.isfinite(y).all()
+
+    cfg.model.solver.ode_solver = "nope"
+    with pytest.raises(ValueError):
+        construct_model(cfg)
