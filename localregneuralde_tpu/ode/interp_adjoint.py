@@ -22,12 +22,10 @@ TPU-native realization (``odesolve(..., adjoint='interpolating')``):
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.flatten_util import ravel_pytree
 
 from .solve import ODESolution, odesolve
@@ -64,29 +62,39 @@ def interpolating_odesolve(
 
     solve_kwargs = dict(rtol=rtol, atol=atol, max_steps=max_steps)
 
+    def run_solve(u0_, p_, saveat_):
+        # THE forward solve: differentiable outputs and fenced auxiliaries
+        # (stats, reservoir, threaded f_state, knots) from one integration.
+        return odesolve(
+            f, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
+            record_knots=True, step_fn=step_fn, stateful=stateful,
+            f_state=f_state, reservoir_key=reservoir_key, **solve_kwargs,
+        )
+
+    def outputs(sol):
+        return (
+            sol.ys, sol.y_final, sol.t_final, sol.nfe, sol.naccept,
+            sol.nreject, sol.success, sol.reservoir_t, sol.reservoir_u,
+            sol.f_state,
+        )
+
     @jax.custom_vjp
     def core(u0, p, saveat_arr):
-        sol = odesolve(
-            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, step_fn=step_fn, **solve_kwargs,
-        )
-        return sol.ys, sol.y_final
+        return outputs(run_solve(u0, p, saveat_arr))
 
     def core_fwd(u0, p, saveat_arr):
-        sol = odesolve(
-            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, step_fn=step_fn, **solve_kwargs,
-        )
+        sol = run_solve(u0, p, saveat_arr)
         res = (
             p, saveat_arr, sol.ys, sol.y_final,
             sol.knot_ts, sol.knot_us, sol.knot_ks, sol.naccept,
         )
-        return (sol.ys, sol.y_final), res
+        return outputs(sol), res
 
     def core_bwd(res, cts):
         (p, saveat_arr, ys, y_final, knot_ts, knot_us, knot_ks,
          naccept) = res
-        ct_ys, ct_y = cts
+        # aux outputs are gradient-fenced: only ys / y_final cotangents flow
+        ct_ys, ct_y = cts[0], cts[1]
         n_save = saveat_arr.shape[0]
 
         # pad unused knot slots with +inf times so searchsorted lands in the
@@ -154,10 +162,10 @@ def interpolating_odesolve(
 
     core.defvjp(core_fwd, core_bwd)
 
-    sol_stats = odesolve(
-        f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
-        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
-        stateful=stateful, f_state=f_state, step_fn=step_fn, **solve_kwargs,
+    (ys, y_final, t_final, nfe, naccept, nreject, success, res_t, res_u,
+     f_state_out) = core(u0, p, saveat_arr)
+    return ODESolution(
+        ts=saveat_arr, ys=ys, t_final=t_final, y_final=y_final, nfe=nfe,
+        naccept=naccept, nreject=nreject, success=success,
+        reservoir_t=res_t, reservoir_u=res_u, f_state=f_state_out,
     )
-    ys, y_final = core(u0, p, saveat_arr)
-    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

@@ -23,11 +23,22 @@ discarded by the forward masking), so skipping them is exact. dt/controller
 quantities receive no cotangents, matching the framework-wide fencing.
 Memory: 2 × (max_steps+1) × state knot buffers.
 
+**Single forward solve.** The one ``custom_vjp`` primal solve produces the
+differentiable outputs (``ys``, ``y_final``) *and* the fenced auxiliaries
+(NFE stats, reservoir sample, threaded ``f_state``, knots) together — there
+is no separate stats solve, so training pays exactly one forward
+integration per step. Aux outputs receive no cotangents in the backward
+rule, which realizes the reference's non-differentiable integrator fencing
+(``src/utils.jl:60-61``). Dynamics state (e.g. BatchNorm running stats) is
+threaded through the forward trajectory; the backward step transposes use
+the *initial* ``f_state`` — exact whenever state does not alter outputs
+mid-solve (true for BatchNorm in training mode, which normalizes with batch
+statistics; asserted by tests/test_stored_adjoint.py).
+
 Same exactness class as 'direct' (pure discretize-then-optimize).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable
 
 import jax
@@ -82,28 +93,39 @@ def stored_odesolve(
             res = tsit5_step(fn_st, u, t, dt, k1, p_, None)
         return res.u_new, tuple(res.ks[1:])
 
+    def run_solve(u0_, p_, saveat_):
+        # THE forward solve: differentiable outputs and fenced auxiliaries
+        # (stats, reservoir, threaded f_state, knots) from one integration.
+        return odesolve(
+            f, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
+            record_knots=True, step_fn=step_fn, stateful=stateful,
+            f_state=f_state, reservoir_key=reservoir_key, **solve_kwargs,
+        )
+
+    def outputs(sol):
+        return (
+            sol.ys, sol.y_final, sol.t_final, sol.nfe, sol.naccept,
+            sol.nreject, sol.success, sol.reservoir_t, sol.reservoir_u,
+            sol.f_state,
+        )
+
     @jax.custom_vjp
     def core(u0, p, saveat_arr):
-        sol = odesolve(
-            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, step_fn=step_fn, **solve_kwargs,
-        )
-        return sol.ys, sol.y_final
+        return outputs(run_solve(u0, p, saveat_arr))
 
     def core_fwd(u0, p, saveat_arr):
-        sol = odesolve(
-            fn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, step_fn=step_fn, **solve_kwargs,
-        )
+        sol = run_solve(u0, p, saveat_arr)
         res = (
             u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_ks,
             sol.naccept,
         )
-        return (sol.ys, sol.y_final), res
+        return outputs(sol), res
 
     def core_bwd(res, cts):
         u0, p, saveat_arr, knot_ts, knot_us, knot_ks, naccept = res
-        ct_ys, ct_y = cts
+        # aux outputs (stats/reservoir/f_state) are gradient-fenced: only the
+        # ys / y_final cotangents propagate.
+        ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
 
         def body(carry):
@@ -169,10 +191,10 @@ def stored_odesolve(
 
     core.defvjp(core_fwd, core_bwd)
 
-    sol_stats = odesolve(
-        f, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
-        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
-        stateful=stateful, f_state=f_state, step_fn=step_fn, **solve_kwargs,
+    (ys, y_final, t_final, nfe, naccept, nreject, success, res_t, res_u,
+     f_state_out) = core(u0, p, saveat_arr)
+    return ODESolution(
+        ts=saveat_arr, ys=ys, t_final=t_final, y_final=y_final, nfe=nfe,
+        naccept=naccept, nreject=nreject, success=success,
+        reservoir_t=res_t, reservoir_u=res_u, f_state=f_state_out,
     )
-    ys, y_final = core(u0, p, saveat_arr)
-    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

@@ -133,3 +133,60 @@ def test_sde_stored_matches_direct():
     np.testing.assert_allclose(
         np.asarray(gd[1]["w"]), np.asarray(gs[1]["w"]), rtol=1e-4, atol=1e-6
     )
+
+
+def test_stateful_dynamics_bn_state_updates_under_stored():
+    """BatchNorm inside the dynamics (the CIFAR family pattern): the single
+    custom-VJP solve must thread the running statistics (no separate stats
+    solve exists anymore), and gradients must match the direct adjoint —
+    exact because BN in training mode normalizes with batch stats, so the
+    threaded state never alters outputs mid-solve."""
+    from localregneuralde_tpu.nn import BatchNorm
+
+    F, B = 6, 8
+    dyn = Chain(Dense(F, F, "tanh"), BatchNorm(F))
+
+    def make(adjoint):
+        return NeuralODE(
+            dyn, regularize="none", adjoint=adjoint,
+            rtol=1e-3, atol=1e-5, max_steps=32,
+        )
+
+    node = make("stored")
+    ps, st = node.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F))
+
+    def fwd(ps, x):
+        sol, st_ = node(ps, st, x, training=True)
+        return jnp.sum(diffeqsol_to_array(sol)), st_
+
+    (loss_s, st_s), gp = jax.jit(
+        jax.value_and_grad(fwd, has_aux=True)
+    )(ps, x)
+
+    bn0 = st["model"]["layer_1"]
+    bn1 = st_s["model"]["layer_1"]
+    # running stats actually moved through the solve
+    assert not np.allclose(np.asarray(bn0["mean"]), np.asarray(bn1["mean"]))
+    assert not np.allclose(np.asarray(bn0["var"]), np.asarray(bn1["var"]))
+    assert int(st_s["nfe"]) > 0
+
+    node_d = make("direct")
+
+    def fwd_d(ps, x):
+        sol, st_ = node_d(ps, st, x, training=True)
+        return jnp.sum(diffeqsol_to_array(sol)), st_
+
+    (loss_d, st_d), gp_d = jax.jit(
+        jax.value_and_grad(fwd_d, has_aux=True)
+    )(ps, x)
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-6)
+    # atol 1e-5: the BN scale gradient is analytically ~0 (batch-centered
+    # activations sum to zero), so that leaf is cancellation noise under the
+    # two adjoints' different reduction orders.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gp_d)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
