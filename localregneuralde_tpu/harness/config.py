@@ -19,6 +19,10 @@ class SolverConfig:
     reltol: float = 5.0e-2
     max_steps: int = 256
     checkpoint_every: int = 16
+    # gradient path through the solve: stored (default; discretize-through,
+    # cost ∝ accepted steps) | direct | interpolating (reference default
+    # sensealg, neural_ode.jl:11) | backsolve
+    adjoint: str = "stored"
 
 
 @dataclass

@@ -60,6 +60,11 @@ def _node_kwargs(cfg: ExperimentConfig):
             f"unknown ode_solver {s.ode_solver!r}; supported: tsit5, vcab3, "
             "vcabm3 (reference construct.jl:154-164)"
         )
+    if s.adjoint not in ("stored", "direct", "interpolating", "backsolve"):
+        raise ValueError(
+            f"unknown adjoint {s.adjoint!r}; supported: stored, direct, "
+            "interpolating, backsolve"
+        )
     return dict(
         rtol=s.reltol,
         atol=s.abstol,
@@ -68,6 +73,7 @@ def _node_kwargs(cfg: ExperimentConfig):
         regularize=cfg.model.regularize,
         regularize_type=cfg.model.regularize_type,
         solver=s.ode_solver,
+        adjoint=s.adjoint,
     )
 
 

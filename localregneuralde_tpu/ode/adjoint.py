@@ -25,6 +25,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.flatten_util import ravel_pytree
 
 from .solve import ODESolution, odesolve
@@ -88,7 +89,6 @@ def backsolve_odesolve(
         p, saveat_arr, ys, y_final = res
         # aux outputs are gradient-fenced: only ys / y_final cotangents flow
         ct_ys, ct_y = cts[0], cts[1]
-        n_save = saveat_arr.shape[0]
 
         p_flat, unravel_p = ravel_pytree(p)
         zero_p = jnp.zeros_like(p_flat)
@@ -110,33 +110,38 @@ def backsolve_odesolve(
             out, _ = ravel_pytree((-du, vu, vp_flat))
             return out
 
-        # events in descending time, cotangents aligned; clip into [t0, t_end]
+        # One lax.scan over the saveat segments (descending): each iteration
+        # integrates the augmented system over [tau, tau_next] and injects
+        # that event's cotangent; a trailing zero-cotangent segment reaches
+        # t0. Compile cost is O(1) in n_save.
         order = jnp.argsort(-saveat_arr)
         events = jnp.clip(saveat_arr[order], t0, t_end)
         cts_sorted = ct_ys[order]
+        tau_targets = jnp.concatenate(
+            [-events, jnp.asarray([-t0], jnp.float32)]
+        )
+        ct_pad = jnp.concatenate(
+            [cts_sorted, jnp.zeros_like(cts_sorted[:1])], axis=0
+        )
 
-        u_end = y_final
-        state, _ = ravel_pytree((u_end, ct_y, zero_p))
-        tau_cur = jnp.asarray(-t_end, jnp.float32)
-
-        for i in range(n_save):
-            tau_next = -events[i]
-            # integrate the augmented system over [tau_cur, tau_next]
-            sol_seg = odesolve(
+        def seg_body(carry, xs):
+            state, tau_cur = carry
+            tau_next, ct_i = xs
+            seg = odesolve(
                 f_aug, state, (tau_cur, tau_next), None, adjoint="none",
                 **solve_kwargs,
             )
-            state = sol_seg.y_final
-            u_c, a_c, g_c = unravel_aug(state)
-            a_c = a_c + cts_sorted[i]
-            state, _ = ravel_pytree((u_c, a_c, g_c))
-            tau_cur = tau_next
+            u_c, a_c, g_c = unravel_aug(seg.y_final)
+            state_next, _ = ravel_pytree((u_c, a_c + ct_i, g_c))
+            return (state_next, tau_next), None
 
-        sol_last = odesolve(
-            f_aug, state, (tau_cur, jnp.asarray(-t0, jnp.float32)), None,
-            adjoint="none", **solve_kwargs,
+        state0, _ = ravel_pytree((y_final, ct_y, zero_p))
+        (state_fin, _), _ = lax.scan(
+            seg_body,
+            (state0, jnp.asarray(-t_end, jnp.float32)),
+            (tau_targets, ct_pad),
         )
-        _, a_final, g_final = unravel_aug(sol_last.y_final)
+        _, a_final, g_final = unravel_aug(state_fin)
         return a_final, unravel_p(g_final), jnp.zeros_like(saveat_arr)
 
     core.defvjp(core_fwd, core_bwd)

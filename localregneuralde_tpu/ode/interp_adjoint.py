@@ -26,6 +26,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.flatten_util import ravel_pytree
 
 from .solve import ODESolution, odesolve
@@ -95,7 +96,6 @@ def interpolating_odesolve(
          naccept) = res
         # aux outputs are gradient-fenced: only ys / y_final cotangents flow
         ct_ys, ct_y = cts[0], cts[1]
-        n_save = saveat_arr.shape[0]
 
         # pad unused knot slots with +inf times so searchsorted lands in the
         # last valid interval; knot 0 is (t0, u0, k1(t0)).
@@ -135,29 +135,39 @@ def interpolating_odesolve(
             out, _ = ravel_pytree((vu, vp_flat))
             return out
 
+        # One lax.scan over the saveat segments (descending): each iteration
+        # integrates the adjoint over [tau, tau_next] and injects that
+        # event's cotangent. A trailing segment to t0 carries a zero
+        # cotangent. Compile cost is O(1) in n_save (one segment solve
+        # traced once), unlike an unrolled Python event loop.
         order = jnp.argsort(-saveat_arr)
         events = jnp.clip(saveat_arr[order], t0, t_end)
         cts_sorted = ct_ys[order]
+        tau_targets = jnp.concatenate(
+            [-events, jnp.asarray([-t0], jnp.float32)]
+        )
+        ct_pad = jnp.concatenate(
+            [cts_sorted, jnp.zeros_like(cts_sorted[:1])], axis=0
+        )
 
-        state, _ = ravel_pytree((ct_y, zero_p))
-        tau_cur = jnp.asarray(-t_end, jnp.float32)
-        for i in range(n_save):
-            tau_next = -events[i]
+        def seg_body(carry, xs):
+            state, tau_cur = carry
+            tau_next, ct_i = xs
             seg = odesolve(
                 f_aug, state, (tau_cur, tau_next), None, adjoint="none",
                 **solve_kwargs,
             )
-            state = seg.y_final
-            a_c, g_c = unravel_aug(state)
-            a_c = a_c + cts_sorted[i]
-            state, _ = ravel_pytree((a_c, g_c))
-            tau_cur = tau_next
+            a_c, g_c = unravel_aug(seg.y_final)
+            state_next, _ = ravel_pytree((a_c + ct_i, g_c))
+            return (state_next, tau_next), None
 
-        last = odesolve(
-            f_aug, state, (tau_cur, jnp.asarray(-t0, jnp.float32)), None,
-            adjoint="none", **solve_kwargs,
+        state0, _ = ravel_pytree((ct_y, zero_p))
+        (state_fin, _), _ = lax.scan(
+            seg_body,
+            (state0, jnp.asarray(-t_end, jnp.float32)),
+            (tau_targets, ct_pad),
         )
-        a_final, g_final = unravel_aug(last.y_final)
+        a_final, g_final = unravel_aug(state_fin)
         return a_final, unravel_p(g_final), jnp.zeros_like(saveat_arr)
 
     core.defvjp(core_fwd, core_bwd)

@@ -178,12 +178,14 @@ def test_end_to_end_mnist_sde(tmp_path):
     assert out["best_eval_acc"] > 0
 
 
-def test_end_to_end_latent_ode(tmp_path):
+@pytest.mark.parametrize("adjoint", ["stored", "interpolating"])
+def test_end_to_end_latent_ode(tmp_path, adjoint):
     from localregneuralde_tpu.harness.latent_runner import (
         run_latent_ode_experiment,
     )
 
     cfg = _tiny_cfg("time_series")
+    cfg.model.solver.adjoint = adjoint
     cfg.model.ts_in_dims = 5
     cfg.model.ts_hidden_dims = 8
     cfg.model.ts_latent_dims = 6

@@ -71,3 +71,52 @@ def test_neural_ode_with_interpolating_adjoint():
     )
     assert np.isfinite(leaves).all() and (leaves != 0).any()
     assert np.isfinite(np.asarray(gx)).all()
+
+
+def test_interp_dense_grid_matches_stored_49_points():
+    """PhysioNet-like 49-point saveat grid: the scan-based segment backward
+    must produce gradients matching the stored adjoint (reference default
+    sensealg is InterpolatingAdjoint, neural_ode.jl:11)."""
+    import time
+
+    def f(u, t, p):
+        return jnp.tanh(p["w"] @ u + p["b"]) - 0.4 * u
+
+    p = {
+        "w": jax.random.normal(jax.random.PRNGKey(0), (4, 4)) * 0.4,
+        "b": jnp.full((4,), 0.1),
+    }
+    u0 = jax.random.normal(jax.random.PRNGKey(1), (4,))
+    grid = jnp.linspace(0.0, 1.0, 49)
+
+    def make_loss(adjoint):
+        def loss(u0, p):
+            sol = odesolve(
+                f, u0, (0.0, 1.0), p, rtol=1e-6, atol=1e-8, max_steps=128,
+                saveat=grid, adjoint=adjoint,
+            )
+            w = jnp.arange(1.0, 50.0)[:, None]
+            return jnp.sum(w * sol.ys ** 2)
+
+        return loss
+
+    t0 = time.perf_counter()
+    gs = jax.jit(jax.grad(make_loss("stored"), argnums=(0, 1)))(u0, p)
+    jax.block_until_ready(gs)
+    t_stored = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    gi = jax.jit(jax.grad(make_loss("interpolating"), argnums=(0, 1)))(u0, p)
+    jax.block_until_ready(gi)
+    t_interp = time.perf_counter() - t0
+
+    np.testing.assert_allclose(
+        np.asarray(gi[0]), np.asarray(gs[0]), rtol=2e-3, atol=1e-5
+    )
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gi[1][k]), np.asarray(gs[1][k]), rtol=2e-3, atol=1e-5
+        )
+    # compile+run time comparable to stored (the old unrolled event loop was
+    # ~50 sequential adaptive solves traced inline — pathological)
+    assert t_interp < 10 * t_stored
