@@ -63,10 +63,15 @@ class ODESolution:
     f_state: Any
     # dense forward storage for the interpolating adjoint (None unless
     # record_knots=True): knot i = (t_i, u_i, k1_i) at accepted step starts
-    # plus the final state.
+    # plus the final state. With knot_stride=W > 1 only every W-th accepted
+    # step is stored (a checkpoint), together with the controller state
+    # (dt of the next attempt, qold) needed to deterministically replay the
+    # window from that point (two-level stored adjoint).
     knot_ts: Any = None
     knot_us: Any = None
     knot_ks: Any = None
+    knot_dts: Any = None
+    knot_qolds: Any = None
 
 
 @pytree_dataclass
@@ -88,6 +93,8 @@ class _LoopState:
     knot_ts: Any
     knot_us: Any
     knot_ks: Any
+    knot_dts: Any
+    knot_qolds: Any
 
 
 def _tree_where(pred, a, b):
@@ -122,6 +129,8 @@ def odesolve(
     reservoir_key: Optional[jnp.ndarray] = None,
     step_fn: Optional[Callable] = None,
     record_knots: bool = False,
+    knot_stride: int = 1,
+    knot_window: Optional[int] = None,
 ) -> ODESolution:
     """Integrate ``du/dt = f(u, t, p)`` over ``tspan`` with adaptive Tsit5.
 
@@ -149,6 +158,7 @@ def odesolve(
             f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
             max_steps=max_steps, stateful=stateful, f_state=f_state,
             reservoir_key=reservoir_key, step_fn=step_fn,
+            knot_window=knot_window,
         )
     if adjoint == "interpolating":
         from .interp_adjoint import interpolating_odesolve
@@ -203,12 +213,24 @@ def odesolve(
     res_t0 = t0 if use_reservoir else None
     res_u0 = u0 if use_reservoir else None
 
+    stride = max(1, int(knot_stride))
     if record_knots:
-        knot_ts0 = jnp.full((max_steps + 1,), t_end, dtype).at[0].set(t0)
-        knot_us0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(u0)
-        knot_ks0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(k1_0)
+        n_knots = max_steps // stride + 1
+        knot_ts0 = jnp.full((n_knots,), t_end, dtype).at[0].set(t0)
+        knot_us0 = jnp.zeros((n_knots,) + u0.shape, u0.dtype).at[0].set(u0)
+        knot_ks0 = jnp.zeros((n_knots,) + u0.shape, u0.dtype).at[0].set(k1_0)
+        if stride > 1:
+            # controller state at each checkpoint: dt of the next attempt
+            # and qold — what a window replay needs to reproduce the exact
+            # accept/reject sequence.
+            knot_dts0 = jnp.zeros((n_knots,), dtype).at[0].set(dt_init)
+            knot_qolds0 = jnp.full(
+                (n_knots,), controller.qoldinit, dtype
+            )
+        else:
+            knot_dts0 = knot_qolds0 = None
     else:
-        knot_ts0 = knot_us0 = knot_ks0 = None
+        knot_ts0 = knot_us0 = knot_ks0 = knot_dts0 = knot_qolds0 = None
 
     state0 = _LoopState(
         t=t0,
@@ -228,6 +250,8 @@ def odesolve(
         knot_ts=knot_ts0,
         knot_us=knot_us0,
         knot_ks=knot_ks0,
+        knot_dts=knot_dts0,
+        knot_qolds=knot_qolds0,
     )
 
     def step_fn(s: _LoopState) -> _LoopState:
@@ -284,20 +308,32 @@ def odesolve(
         k1_next = _tree_where(upd, res.ks[6], s.k1)
         if record_knots:
             # knot index for this accepted step's END point; on reject/done
-            # rewrite the slot with its own value (in-place slice update —
-            # no full-buffer copy inside the loop)
-            ki = s.naccept + 1
+            # (or off-stride counts) rewrite the slot with its own value
+            # (in-place slice update — no full-buffer copy inside the loop)
+            cnt = s.naccept + 1
+            ki = cnt // stride
+            rec = upd & (cnt % stride == 0) if stride > 1 else upd
             knot_ts_n = s.knot_ts.at[ki].set(
-                jnp.where(upd, t_new, s.knot_ts[ki])
+                jnp.where(rec, t_new, s.knot_ts[ki])
             )
             knot_us_n = s.knot_us.at[ki].set(
-                jnp.where(upd, res.u_new, s.knot_us[ki])
+                jnp.where(rec, res.u_new, s.knot_us[ki])
             )
             knot_ks_n = s.knot_ks.at[ki].set(
-                jnp.where(upd, res.ks[6], s.knot_ks[ki])
+                jnp.where(rec, res.ks[6], s.knot_ks[ki])
             )
+            if stride > 1:
+                knot_dts_n = s.knot_dts.at[ki].set(
+                    jnp.where(rec, dt_acc, s.knot_dts[ki])
+                )
+                knot_qolds_n = s.knot_qolds.at[ki].set(
+                    jnp.where(rec, qold_acc, s.knot_qolds[ki])
+                )
+            else:
+                knot_dts_n = knot_qolds_n = None
         else:
             knot_ts_n = knot_us_n = knot_ks_n = None
+            knot_dts_n = knot_qolds_n = None
         f_st_next = _tree_where(upd, res.f_state, s.f_st)
         t_next = jnp.where(upd, t_new, s.t)
         dt_next = jnp.where(
@@ -323,6 +359,8 @@ def odesolve(
             knot_ts=knot_ts_n,
             knot_us=knot_us_n,
             knot_ks=knot_ks_n,
+            knot_dts=knot_dts_n,
+            knot_qolds=knot_qolds_n,
         )
 
     if adjoint == "none":
@@ -378,4 +416,6 @@ def odesolve(
         knot_ts=final.knot_ts,
         knot_us=final.knot_us,
         knot_ks=final.knot_ks,
+        knot_dts=final.knot_dts,
+        knot_qolds=final.knot_qolds,
     )

@@ -18,10 +18,20 @@ entirely:
   cotangents are injected at the steps whose interval contains each output
   time, exactly mirroring the forward interpolation.
 
+**Two-level windowing for large capacity** (``max_steps > 512`` or explicit
+``knot_window``): instead of O(max_steps) knot buffers, the forward records
+only every W-th accepted state as a *checkpoint* — together with the
+controller state ``(dt_next, qold)`` needed to resume stepping — and the
+backward replays one W-step window at a time (deterministic accept/reject
+replay, identical floating-point sequence) before reverse-sweeping it.
+Memory drops to O(max_steps/W + W) ≈ O(2·√max_steps) states at
+W = ⌈√max_steps⌉, making reference-scale ``maxiters = 10_000``
+(``/root/reference/experiments/src/construct.jl:196``) feasible at MNIST
+batch sizes; compute is one extra forward integration total.
+
 Rejected attempts contribute nothing to gradients (their outputs are
 discarded by the forward masking), so skipping them is exact. dt/controller
 quantities receive no cotangents, matching the framework-wide fencing.
-Memory: 2 × (max_steps+1) × state knot buffers.
 
 **Single forward solve.** The one ``custom_vjp`` primal solve produces the
 differentiable outputs (``ys``, ``y_final``) *and* the fenced auxiliaries
@@ -39,13 +49,16 @@ Same exactness class as 'direct' (pure discretize-then-optimize).
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+import math
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.flatten_util import ravel_pytree
 
+from ..ops.residuals import scaled_error_norm
+from .controller import PIController
 from .solve import ODESolution, odesolve
 from .step import tsit5_step
 from .tableaus import tsit5_interp_weights
@@ -65,12 +78,23 @@ def stored_odesolve(
     f_state: Any = None,
     reservoir_key=None,
     step_fn=None,
+    knot_window: Optional[int] = None,
 ) -> ODESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
     if saveat is None:
         saveat_arr = jnp.asarray([t_end], jnp.float32)
     else:
         saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, jnp.float32))
+
+    if knot_window is None:
+        # auto: dense knots for small capacity; √N windows beyond it
+        knot_window = (
+            max_steps if max_steps <= 512
+            else max(16, int(math.ceil(math.sqrt(float(max_steps)))))
+        )
+    two_level = knot_window < max_steps
+    stride = knot_window if two_level else 1
+    controller = PIController()
 
     fn = f
     if stateful:
@@ -83,14 +107,16 @@ def stored_odesolve(
 
     solve_kwargs = dict(rtol=rtol, atol=atol, max_steps=max_steps)
 
+    def raw_step(p_, u, t, dt, k1):
+        if step_fn is not None:
+            return step_fn(fn_st, u, t, dt, k1, p_, None)
+        return tsit5_step(fn_st, u, t, dt, k1, p_, None)
+
     def step_out(p_, u, t, dt, k1):
         """(u_new, (k2..k7)) of one Tsit5 step — the unit the backward
         transposes. Routes through the fused Pallas step when configured
         (whose registered custom VJP is the fused backward kernel)."""
-        if step_fn is not None:
-            res = step_fn(fn_st, u, t, dt, k1, p_, None)
-        else:
-            res = tsit5_step(fn_st, u, t, dt, k1, p_, None)
+        res = raw_step(p_, u, t, dt, k1)
         return res.u_new, tuple(res.ks[1:])
 
     def run_solve(u0_, p_, saveat_):
@@ -98,8 +124,9 @@ def stored_odesolve(
         # (stats, reservoir, threaded f_state, knots) from one integration.
         return odesolve(
             f, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
-            record_knots=True, step_fn=step_fn, stateful=stateful,
-            f_state=f_state, reservoir_key=reservoir_key, **solve_kwargs,
+            record_knots=True, knot_stride=stride, step_fn=step_fn,
+            stateful=stateful, f_state=f_state, reservoir_key=reservoir_key,
+            **solve_kwargs,
         )
 
     def outputs(sol):
@@ -117,62 +144,150 @@ def stored_odesolve(
         sol = run_solve(u0, p, saveat_arr)
         res = (
             u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_ks,
-            sol.naccept,
+            sol.knot_dts, sol.knot_qolds, sol.naccept,
         )
         return outputs(sol), res
 
     def core_bwd(res, cts):
-        u0, p, saveat_arr, knot_ts, knot_us, knot_ks, naccept = res
+        (u0, p, saveat_arr, knot_ts, knot_us, knot_ks, knot_dts,
+         knot_qolds, naccept) = res
         # aux outputs (stats/reservoir/f_state) are gradient-fenced: only the
         # ys / y_final cotangents propagate.
         ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
+        tdtype = knot_ts.dtype
+        t_end_arr = jnp.asarray(t_end, tdtype)
 
-        def body(carry):
-            j, a_u, a_k, a_p = carry
-            t = knot_ts[j]
-            tn = knot_ts[j + 1]
-            dt = tn - t
-            u = knot_us[j]
-            k1 = knot_ks[j]
+        def make_sweep_body(l_ts, l_us, l_ks):
+            """Reverse-transpose one accepted step per iteration over the
+            given knot buffers (global buffers single-level; per-window
+            replayed buffers two-level)."""
 
-            # saveat cotangents whose output time falls inside this step:
-            # y_s = u + dt·Σ_m b_m(θ_s)·k_m  (m = 1..7, b from the Tsit5
-            # free interpolant — identical to the forward fill)
-            theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
-            hit = ((saveat_arr > t) & (saveat_arr <= tn)).astype(u.dtype)
-            ct_hit = ct_ys * hit.reshape((-1,) + (1,) * u.ndim)
-            bs = tsit5_interp_weights(theta)  # 7 × (n_save,)
-            d_u_interp = jnp.sum(ct_hit, axis=0)
+            def body(carry):
+                j, a_u, a_k, a_p = carry
+                t = l_ts[j]
+                tn = l_ts[j + 1]
+                dt = tn - t
+                u = l_us[j]
+                k1 = l_ks[j]
 
-            def k_ct(m):
-                w = (dt * bs[m] * hit).reshape((-1,) + (1,) * u.ndim)
-                return jnp.sum(w * ct_ys, axis=0)
+                # saveat cotangents whose output time falls inside this step:
+                # y_s = u + dt·Σ_m b_m(θ_s)·k_m  (m = 1..7, b from the Tsit5
+                # free interpolant — identical to the forward fill)
+                theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
+                hit = ((saveat_arr > t) & (saveat_arr <= tn)).astype(u.dtype)
+                ct_hit = ct_ys * hit.reshape((-1,) + (1,) * u.ndim)
+                bs = tsit5_interp_weights(theta)  # 7 × (n_save,)
+                d_u_interp = jnp.sum(ct_hit, axis=0)
 
-            d_unew = a_u
-            d_ks = (
-                k_ct(1), k_ct(2), k_ct(3), k_ct(4), k_ct(5),
-                k_ct(6) + a_k,  # k7 feeds the next step's k1 (FSAL)
+                def k_ct(m):
+                    w = (dt * bs[m] * hit).reshape((-1,) + (1,) * u.ndim)
+                    return jnp.sum(w * ct_ys, axis=0)
+
+                d_unew = a_u
+                d_ks = (
+                    k_ct(1), k_ct(2), k_ct(3), k_ct(4), k_ct(5),
+                    k_ct(6) + a_k,  # k7 feeds the next step's k1 (FSAL)
+                )
+                _, vjp = jax.vjp(step_out, p, u, t, dt, k1)
+                d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
+                d_p_flat, _ = ravel_pytree(d_p)
+                return (
+                    j - 1,
+                    d_u + d_u_interp,
+                    d_k1 + k_ct(0),
+                    a_p + d_p_flat,
+                )
+
+            return body
+
+        a0 = (ct_y, jnp.zeros_like(u0), jnp.zeros_like(p_flat))
+
+        if not two_level:
+            body = make_sweep_body(knot_ts, knot_us, knot_ks)
+            _, a_u, a_k, a_p = lax.while_loop(
+                lambda c: c[0] >= 0, body, (naccept - 1,) + a0
             )
-            _, vjp = jax.vjp(step_out, p, u, t, dt, k1)
-            d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
-            d_p_flat, _ = ravel_pytree(d_p)
-            return (
-                j - 1,
-                d_u + d_u_interp,
-                d_k1 + k_ct(0),
-                a_p + d_p_flat,
-            )
+        else:
+            W = stride
 
-        carry0 = (
-            naccept - 1,
-            ct_y,
-            jnp.zeros_like(u0),
-            jnp.zeros_like(p_flat),
-        )
-        j_f, a_u, a_k, a_p = lax.while_loop(
-            lambda c: c[0] >= 0, body, carry0
-        )
+            def replay_window(w, n_steps):
+                """Deterministically re-integrate the ≤W accepted steps of
+                window ``w`` from its checkpoint, recording local knots.
+                Identical arithmetic to the forward loop ⇒ identical
+                accept/reject and dt sequence (same ops, same order)."""
+                l_ts0 = jnp.full((W + 1,), t_end_arr, tdtype).at[0].set(
+                    knot_ts[w]
+                )
+                l_us0 = jnp.zeros((W + 1,) + u0.shape, u0.dtype).at[0].set(
+                    knot_us[w]
+                )
+                l_ks0 = jnp.zeros((W + 1,) + u0.shape, u0.dtype).at[0].set(
+                    knot_ks[w]
+                )
+
+                def rcond(c):
+                    return (c[0] < n_steps) & (c[1] < max_steps)
+
+                def rbody(c):
+                    i, att, t, u, k1, dt, qold, l_ts, l_us, l_ks = c
+                    t_rem = t_end_arr - t
+                    dt_c = jnp.minimum(dt, t_rem)
+                    is_last = dt >= t_rem
+                    r = raw_step(p, u, t, dt_c, k1)
+                    eest = scaled_error_norm(
+                        r.utilde, u, r.u_new, atol, rtol
+                    )
+                    accept = eest <= 1.0
+                    dt_acc, dt_rej, qold_acc = controller.propose(
+                        eest, dt_c, qold
+                    )
+                    t_new = jnp.where(is_last, t_end_arr, t + dt_c)
+                    sl = i + 1
+                    l_ts = l_ts.at[sl].set(
+                        jnp.where(accept, t_new, l_ts[sl])
+                    )
+                    l_us = l_us.at[sl].set(
+                        jnp.where(accept, r.u_new, l_us[sl])
+                    )
+                    l_ks = l_ks.at[sl].set(
+                        jnp.where(accept, r.ks[6], l_ks[sl])
+                    )
+                    return (
+                        i + accept.astype(i.dtype),
+                        att + 1,
+                        jnp.where(accept, t_new, t),
+                        jnp.where(accept, r.u_new, u),
+                        jnp.where(accept, r.ks[6], k1),
+                        jnp.where(accept, dt_acc, dt_rej),
+                        jnp.where(accept, qold_acc, qold),
+                        l_ts, l_us, l_ks,
+                    )
+
+                init = (
+                    jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                    knot_ts[w], knot_us[w], knot_ks[w],
+                    knot_dts[w], knot_qolds[w],
+                    l_ts0, l_us0, l_ks0,
+                )
+                out = lax.while_loop(rcond, rbody, init)
+                return out[7], out[8], out[9]
+
+            def outer_body(carry):
+                w, a_u, a_k, a_p = carry
+                start = w * W
+                n_steps = jnp.clip(naccept - start, 0, W)
+                l_ts, l_us, l_ks = replay_window(w, n_steps)
+                body = make_sweep_body(l_ts, l_us, l_ks)
+                _, a_u, a_k, a_p = lax.while_loop(
+                    lambda c: c[0] >= 0, body, (n_steps - 1, a_u, a_k, a_p)
+                )
+                return (w - 1, a_u, a_k, a_p)
+
+            w_start = jnp.maximum((naccept - 1) // W, 0)
+            _, a_u, a_k, a_p = lax.while_loop(
+                lambda c: c[0] >= 0, outer_body, (w_start,) + a0
+            )
 
         # close the FSAL chain: k1_0 = f(u0, t0, p)
         _, vjp0 = jax.vjp(lambda u_, p_: fn(u_, jnp.asarray(t0), p_), u0, p)

@@ -190,3 +190,68 @@ def test_stateful_dynamics_bn_state_updates_under_stored():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_two_level_windowed_matches_single_level():
+    """knot_window < max_steps triggers checkpoint+replay; the replay is a
+    deterministic re-execution of the same float ops, so gradients must be
+    bitwise-equal to the single-level sweep."""
+    from localregneuralde_tpu.ode.stored_adjoint import stored_odesolve
+
+    u0, p = _setup()
+    sv = jnp.array([0.0, 0.37, 0.81, 1.0])
+
+    def make_loss(window):
+        def loss(u0, p):
+            sol = stored_odesolve(
+                _f, u0, (0.0, 1.0), p, rtol=1e-7, atol=1e-9, max_steps=128,
+                saveat=sv, knot_window=window,
+            )
+            return jnp.sum(sol.y_final ** 2) + jnp.sum(sol.ys[1] ** 2) + jnp.sum(
+                sol.ys[2] * sol.ys[0]
+            )
+
+        return loss
+
+    g1 = jax.jit(jax.grad(make_loss(128), argnums=(0, 1)))(u0, p)  # single
+    g2 = jax.jit(jax.grad(make_loss(7), argnums=(0, 1)))(u0, p)    # windowed
+    np.testing.assert_array_equal(np.asarray(g1[0]), np.asarray(g2[0]))
+    for k in ("w", "b"):
+        np.testing.assert_array_equal(
+            np.asarray(g1[1][k]), np.asarray(g2[1][k])
+        )
+    # primals identical too
+    np.testing.assert_array_equal(
+        np.asarray(make_loss(128)(u0, p)), np.asarray(make_loss(7)(u0, p))
+    )
+
+
+def test_large_capacity_auto_windowing():
+    """max_steps > 512 auto-enables the two-level scheme (W = ⌈√N⌉): the
+    memory-feasible path for reference-scale maxiters=10_000. Gradients must
+    match the direct adjoint."""
+    u0, p = _setup()
+
+    def loss_stored(u0, p):
+        sol = odesolve(
+            _f, u0, (0.0, 1.0), p, rtol=1e-9, atol=1e-11, max_steps=2048,
+            adjoint="stored",
+        )
+        return jnp.sum(sol.y_final ** 2)
+
+    def loss_direct(u0, p):
+        sol = odesolve(
+            _f, u0, (0.0, 1.0), p, rtol=1e-9, atol=1e-11, max_steps=2048,
+            checkpoint_every=64, adjoint="direct",
+        )
+        return jnp.sum(sol.y_final ** 2)
+
+    gs = jax.jit(jax.grad(loss_stored, argnums=(0, 1)))(u0, p)
+    gd = jax.jit(jax.grad(loss_direct, argnums=(0, 1)))(u0, p)
+    np.testing.assert_allclose(
+        np.asarray(gs[0]), np.asarray(gd[0]), rtol=1e-4, atol=1e-6
+    )
+    for k in ("w", "b"):
+        np.testing.assert_allclose(
+            np.asarray(gs[1][k]), np.asarray(gd[1][k]), rtol=1e-4, atol=1e-6
+        )
