@@ -9,15 +9,39 @@ semantics, and a full experiment harness — designed TPU-first (SPMD sharding,
 static shapes, fused Pallas kernels) rather than as a translation.
 """
 from .core import ArrayAndTime, get_array, get_scalar
+from .models import (
+    AugmenterLayer,
+    LatentGRUCell,
+    NeuralDSDE,
+    NeuralODE,
+    ReparameterizeLayer,
+    TDChain,
+    diffeqsol_to_array,
+    diffeqsol_to_timeseries,
+)
 from .ode import ODESolution, PIController, odesolve
+from .sde import SDESolution, sdesolve
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
+# same public surface as the reference module root
+# (src/LocalRegNeuralDE.jl:20-22), plus the solver entry points the
+# reference delegates to SciML
 __all__ = [
     "ArrayAndTime",
-    "get_array",
-    "get_scalar",
+    "AugmenterLayer",
+    "LatentGRUCell",
+    "NeuralDSDE",
+    "NeuralODE",
     "ODESolution",
     "PIController",
+    "ReparameterizeLayer",
+    "SDESolution",
+    "TDChain",
+    "diffeqsol_to_array",
+    "diffeqsol_to_timeseries",
+    "get_array",
+    "get_scalar",
     "odesolve",
+    "sdesolve",
 ]

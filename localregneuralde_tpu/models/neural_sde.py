@@ -54,11 +54,18 @@ class NeuralDSDE(Module):
         adjoint: str = "stored",
         solver: str = "sri",
         delta: float = 1 / 6,
+        noise_dims: Optional[int] = None,
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
         if regularize not in _VALID_REGULARIZE:
             raise ValueError(f"regularize must be one of {_VALID_REGULARIZE}")
+        if noise_dims is not None and solver != "milstein":
+            raise ValueError(
+                "non-diagonal noise (noise_dims=m) requires solver='milstein' "
+                "(the commutative RKMilCommute branch, reference "
+                "perform_step.jl:126-160)"
+            )
         self.drift = drift
         self.diffusion = diffusion
         self.tspan = (float(tspan[0]), float(tspan[1]))
@@ -71,6 +78,7 @@ class NeuralDSDE(Module):
         self.adjoint = adjoint
         self.solver = solver
         self.delta = float(delta)
+        self.noise_dims = None if noise_dims is None else int(noise_dims)
 
     def init(self, key):
         dk, gk, sk = jax.random.split(key, 3)
@@ -98,7 +106,14 @@ class NeuralDSDE(Module):
             y, st_new = self.diffusion(
                 p["diffusion"], st, ArrayAndTime(u, t), training=training
             )
-            return get_array(y), st_new
+            y = get_array(y)
+            if self.noise_dims is not None:
+                # matrix diffusion: the network emits (..., d·m) which is
+                # viewed as the noise-rate matrix (..., d, m) — the analog of
+                # the reference's mul! reshape shim that exists only for the
+                # NeuralDSDE non-diagonal path (src/utils.jl:69-74)
+                y = y.reshape(u.shape + (self.noise_dims,))
+            return y, st_new
 
         return f, g
 
@@ -109,6 +124,10 @@ class NeuralDSDE(Module):
         key = state["rng"]
         key, noise_key, tkey, rkey, wkey = jax.random.split(key, 5)
 
+        noise_shape = (
+            None if self.noise_dims is None
+            else x.shape[:-1] + (self.noise_dims,)
+        )
         common = dict(
             noise_key=noise_key,
             rtol=self.rtol,
@@ -120,6 +139,7 @@ class NeuralDSDE(Module):
             stateful=True,
             f_state=state["drift"],
             g_state=state["diffusion"],
+            noise_shape=noise_shape,
         )
 
         if mode == "none":
@@ -176,8 +196,9 @@ class NeuralDSDE(Module):
         )
         kw, kz = jax.random.split(wkey)
         sqdt = jnp.sqrt(dt_r)
-        dW = jax.random.normal(kw, u1.shape, u1.dtype) * sqdt
-        dZ = jax.random.normal(kz, u1.shape, u1.dtype) * sqdt
+        w_shape = u1.shape if noise_shape is None else noise_shape
+        dW = jax.random.normal(kw, w_shape, u1.dtype) * sqdt
+        dZ = jax.random.normal(kz, w_shape, u1.dtype) * sqdt
         # the reg step uses the layer's configured solver, matching the
         # reference's _perform_step dispatch on the main integrator's cache
         # (neural_sde.jl:96-98 passes n.solver to _get_dsde_integrator)
@@ -187,12 +208,20 @@ class NeuralDSDE(Module):
                 sol.g_state, self.atol, self.rtol, self.delta,
             )
         elif self.solver == "milstein":
-            from ..sde.step import milstein_commute_step
+            if noise_shape is not None:
+                from ..sde.step import milstein_commute_step_nondiag
 
-            step = milstein_commute_step(
-                f, g, u1, t1, dt_r, dW, params, sol.f_state, sol.g_state,
-                self.atol, self.rtol,
-            )
+                step = milstein_commute_step_nondiag(
+                    f, g, u1, t1, dt_r, dW, params, sol.f_state,
+                    sol.g_state, self.atol, self.rtol,
+                )
+            else:
+                from ..sde.step import milstein_commute_step
+
+                step = milstein_commute_step(
+                    f, g, u1, t1, dt_r, dW, params, sol.f_state,
+                    sol.g_state, self.atol, self.rtol,
+                )
         else:
             from ..sde.step import lamba_euler_heun_step
 

@@ -25,7 +25,12 @@ from ..core.struct import pytree_dataclass
 from ..ode.controller import PIController
 from ..ops.residuals import internal_norm
 from .brownian import VirtualBrownianTree
-from .step import lamba_euler_heun_step, milstein_commute_step, sri_step
+from .step import (
+    lamba_euler_heun_step,
+    milstein_commute_step,
+    milstein_commute_step_nondiag,
+    sri_step,
+)
 
 
 @pytree_dataclass
@@ -106,8 +111,17 @@ def sdesolve(
     reservoir_key: Optional[jnp.ndarray] = None,
     brownian_depth: int = 24,
     record_knots: bool = False,
+    noise_shape: Optional[tuple] = None,
 ) -> SDESolution:
-    """Integrate ``du = f dt + g dW`` (diagonal noise) over ``tspan``."""
+    """Integrate ``du = f dt + g dW`` over ``tspan``.
+
+    Diagonal noise by default (``g`` returns an array shaped like ``u``;
+    ``dW`` has the state shape). With ``noise_shape = (..., m)`` the noise is
+    **non-diagonal**: ``dW`` has that shape, ``g`` returns the noise-rate
+    matrix ``u.shape + (m,)``, and the solver must be ``'milstein'``
+    (commutative-noise RKMilCommute, the reference's only non-diagonal
+    branch, ``src/perform_step.jl:126-160``).
+    """
     if adjoint == "stored":
         from .stored_adjoint import stored_sdesolve
 
@@ -116,9 +130,15 @@ def sdesolve(
             solver=solver, delta=delta, saveat=saveat, max_steps=max_steps,
             stateful=stateful, f_state=f_state, g_state=g_state,
             reservoir_key=reservoir_key, brownian_depth=brownian_depth,
+            noise_shape=noise_shape,
         )
     if solver not in _SOLVERS:
         raise ValueError(f"unknown SDE solver {solver!r}; one of {list(_SOLVERS)}")
+    if noise_shape is not None and solver != "milstein":
+        raise ValueError(
+            "non-diagonal noise (noise_shape=...) requires solver='milstein' "
+            "(the commutative RKMilCommute branch)"
+        )
     order = _SOLVERS[solver]
     if controller is None:
         controller = PIController(
@@ -139,8 +159,9 @@ def sdesolve(
         saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, dtype))
     n_save = saveat_arr.shape[0]
 
+    w_shape = tuple(noise_shape) if noise_shape is not None else u0.shape
     tree = VirtualBrownianTree(
-        noise_key, float(tspan[0]), float(tspan[1]), u0.shape, dtype,
+        noise_key, float(tspan[0]), float(tspan[1]), w_shape, dtype,
         depth=brownian_depth,
     )
 
@@ -186,8 +207,8 @@ def sdesolve(
         res_t=t0,
         res_u=u0,
         key=key0,
-        w_t=jnp.zeros_like(u0),
-        z_t=jnp.zeros_like(u0),
+        w_t=jnp.zeros(w_shape, dtype),
+        z_t=jnp.zeros(w_shape, dtype),
         f_st=f_state,
         g_st=g_state,
         knot_ts=knot_ts0,
@@ -198,6 +219,9 @@ def sdesolve(
         "sri": (4, 4), "sosri": (4, 4), "milstein": (1, 2),
         "euler_heun": (3, 3),
     }[solver]
+    if noise_shape is not None:
+        # non-diagonal Milstein: 1 drift + (1 + m) diffusion evals per attempt
+        nf_step, ng_step = 1, 1 + int(w_shape[-1])
 
     def step_fn(s: _SDELoopState) -> _SDELoopState:
         t_rem = t_end - s.t
@@ -219,9 +243,14 @@ def sdesolve(
                 atol, rtol, delta,
             )
         elif solver == "milstein":
-            res = milstein_commute_step(
-                fn, gn, s.u, s.t, dt_c, dW, p, s.f_st, s.g_st, atol, rtol
-            )
+            if noise_shape is not None:
+                res = milstein_commute_step_nondiag(
+                    fn, gn, s.u, s.t, dt_c, dW, p, s.f_st, s.g_st, atol, rtol
+                )
+            else:
+                res = milstein_commute_step(
+                    fn, gn, s.u, s.t, dt_c, dW, p, s.f_st, s.g_st, atol, rtol
+                )
         else:
             res = lamba_euler_heun_step(
                 fn, gn, s.u, s.t, dt_c, dW, p, s.f_st, s.g_st,

@@ -125,6 +125,56 @@ def milstein_commute_step(
     return SDEStepResult(u_new, eest, fst, gst, 1, 2)
 
 
+def milstein_commute_step_nondiag(
+    f: Callable, g: Callable, u, t, dt, dW, p, f_state, g_state,
+    atol, rtol, *, interpretation: str = "ito",
+) -> SDEStepResult:
+    """Non-diagonal (matrix) commutative-noise Milstein step (reference
+    ``src/perform_step.jl:126-160``, non-diagonal branch).
+
+    Shapes: ``u`` = (..., d); ``dW`` = (..., m); diffusion ``g`` returns the
+    noise-rate matrix (..., d, m). The iterated integrals use the
+    commutative-noise approximation ``J = dW dWᵀ / 2`` (the symmetric part is
+    exact when the diffusion columns commute; ``get_iterated_I`` for
+    RKMilCommute), with the Itô correction ``J -= (dt/2)·I``
+    (``perform_step.jl:119-125``). The Milstein correction follows the
+    reference's per-channel loop — ``Dg_j = (g(K + √dt·L[:,j]) − L)/√dt``,
+    ``Σ_j Dg_j · J[:,j]`` — realized as a ``lax.scan`` over channels (m extra
+    diffusion evaluations, threading diffusion state).
+
+    As-is reference quirk preserved: EEst is the tolerance-scaled RMS of
+    ``u_new − u`` (the drift/ggprime expression computed first is overwritten
+    before use, ``perform_step.jl:162-167``).
+    """
+    from jax import lax
+
+    sqdt = jnp.sqrt(jnp.abs(dt))
+    m = dW.shape[-1]
+    # commutative iterated integrals: J[j, k] ≈ I_(j,k)
+    J = 0.5 * dW[..., :, None] * dW[..., None, :]  # (..., m, m)
+    if interpretation == "ito":
+        J = J - (jnp.abs(dt) / 2) * jnp.eye(m, dtype=J.dtype)
+
+    du1, fst = f(u, t, p, f_state)
+    L, gst = g(u, t, p, g_state)  # (..., d, m)
+    K = u + dt * du1
+
+    def channel(g_st, j):
+        Kj = K + sqdt * jnp.take(L, j, axis=-1)
+        gtmp, g_st = g(Kj, t, p, g_st)
+        Dgj = (gtmp - L) / sqdt  # (..., d, m)
+        contrib = jnp.einsum("...dm,...m->...d", Dgj, jnp.take(J, j, axis=-1))
+        return g_st, contrib
+
+    gst, contribs = lax.scan(channel, gst, jnp.arange(m))
+    mil_correction = jnp.sum(contribs, axis=0)
+
+    u_new = K + jnp.einsum("...dm,...m->...d", L, dW) + mil_correction
+
+    eest = internal_norm(difference_residuals(u, u_new, atol, rtol))
+    return SDEStepResult(u_new, eest, fst, gst, 1, 1 + m)
+
+
 def lamba_euler_heun_step(
     f: Callable, g: Callable, u, t, dt, dW, p, f_state, g_state,
     atol, rtol, delta: float = 1 / 6,

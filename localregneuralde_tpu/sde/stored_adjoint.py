@@ -10,14 +10,17 @@ exactly the forward's noise) and never differentiated. Saveat cotangents
 split linearly (the forward's RODESolution-style interpolation):
 ``y_s = u + θ(u_new − u)`` ⇒ ``d_u += (1−θ)·ct``, ``d_u_new += θ·ct``.
 
+**Single forward solve** (as in the ODE twin): the one ``custom_vjp`` primal
+produces the differentiable outputs and the fenced auxiliaries (NFE stats,
+reservoir sample, threaded f/g state) together — no duplicate stats solve.
+
 dt/controller quantities receive no cotangents (framework-wide fencing);
-``f_state``/``g_state`` are fenced (BatchNorm-style state is write-only in
-training). Memory: (max_steps+1) × state knots.
+``f_state``/``g_state`` gradients are fenced (BatchNorm-style state is
+write-only in training). Memory: (max_steps+1) × state knots.
 """
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +29,12 @@ from jax.flatten_util import ravel_pytree
 
 from .brownian import VirtualBrownianTree
 from .solve import SDESolution, sdesolve
-from .step import lamba_euler_heun_step, milstein_commute_step, sri_step
+from .step import (
+    lamba_euler_heun_step,
+    milstein_commute_step,
+    milstein_commute_step_nondiag,
+    sri_step,
+)
 
 
 def stored_sdesolve(
@@ -48,6 +56,7 @@ def stored_sdesolve(
     g_state: Any = None,
     reservoir_key=None,
     brownian_depth: int = 24,
+    noise_shape: Optional[tuple] = None,
 ) -> SDESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
     if saveat is None:
@@ -71,14 +80,16 @@ def stored_sdesolve(
     def gn_st(u, t, p_, st):
         return gn(u, t, p_), st
 
+    w_shape = tuple(noise_shape) if noise_shape is not None else u0.shape
     tree = VirtualBrownianTree(
-        noise_key, t0, t_end, u0.shape,
+        noise_key, t0, t_end, w_shape,
         jnp.result_type(u0.dtype, jnp.float32), depth=brownian_depth,
     )
 
     solve_kwargs = dict(
         noise_key=noise_key, rtol=rtol, atol=atol, solver=solver,
         delta=delta, max_steps=max_steps, brownian_depth=brownian_depth,
+        noise_shape=noise_shape,
     )
 
     def step_out(p_, u, t, dt, dW, dZ):
@@ -88,9 +99,14 @@ def stored_sdesolve(
                 atol, rtol, delta,
             )
         elif solver == "milstein":
-            res = milstein_commute_step(
-                fn_st, gn_st, u, t, dt, dW, p_, None, None, atol, rtol
-            )
+            if noise_shape is not None:
+                res = milstein_commute_step_nondiag(
+                    fn_st, gn_st, u, t, dt, dW, p_, None, None, atol, rtol
+                )
+            else:
+                res = milstein_commute_step(
+                    fn_st, gn_st, u, t, dt, dW, p_, None, None, atol, rtol
+                )
         else:
             res = lamba_euler_heun_step(
                 fn_st, gn_st, u, t, dt, dW, p_, None, None,
@@ -98,25 +114,35 @@ def stored_sdesolve(
             )
         return res.u_new
 
+    def run_solve(u0_, p_, saveat_):
+        # THE forward solve: differentiable outputs and fenced auxiliaries
+        # (stats, reservoir, threaded f/g state, knots) from one integration.
+        return sdesolve(
+            f, g, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
+            record_knots=True, stateful=stateful, f_state=f_state,
+            g_state=g_state, reservoir_key=reservoir_key, **solve_kwargs,
+        )
+
+    def outputs(sol):
+        return (
+            sol.ys, sol.y_final, sol.t_final, sol.nfe_drift,
+            sol.nfe_diffusion, sol.naccept, sol.nreject, sol.success,
+            sol.reservoir_t, sol.reservoir_u, sol.f_state, sol.g_state,
+        )
+
     @jax.custom_vjp
     def core(u0, p, saveat_arr):
-        sol = sdesolve(
-            fn, gn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, **solve_kwargs,
-        )
-        return sol.ys, sol.y_final
+        return outputs(run_solve(u0, p, saveat_arr))
 
     def core_fwd(u0, p, saveat_arr):
-        sol = sdesolve(
-            fn, gn, u0, (t0, t_end), p, saveat=saveat_arr, adjoint="none",
-            record_knots=True, **solve_kwargs,
-        )
+        sol = run_solve(u0, p, saveat_arr)
         res = (u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.naccept)
-        return (sol.ys, sol.y_final), res
+        return outputs(sol), res
 
     def core_bwd(res, cts):
         u0, p, saveat_arr, knot_ts, knot_us, naccept = res
-        ct_ys, ct_y = cts
+        # aux outputs are gradient-fenced: only ys / y_final cotangents flow
+        ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
 
         def body(carry):
@@ -156,10 +182,11 @@ def stored_sdesolve(
 
     core.defvjp(core_fwd, core_bwd)
 
-    sol_stats = sdesolve(
-        f, g, lax.stop_gradient(u0), (t0, t_end), lax.stop_gradient(p),
-        saveat=saveat_arr, adjoint="none", reservoir_key=reservoir_key,
-        stateful=stateful, f_state=f_state, g_state=g_state, **solve_kwargs,
+    (ys, y_final, t_final, nfe_d, nfe_g, naccept, nreject, success, res_t,
+     res_u, f_state_out, g_state_out) = core(u0, p, saveat_arr)
+    return SDESolution(
+        ts=saveat_arr, ys=ys, t_final=t_final, y_final=y_final,
+        nfe_drift=nfe_d, nfe_diffusion=nfe_g, naccept=naccept,
+        nreject=nreject, success=success, reservoir_t=res_t,
+        reservoir_u=res_u, f_state=f_state_out, g_state=g_state_out,
     )
-    ys, y_final = core(u0, p, saveat_arr)
-    return dataclasses.replace(sol_stats, ys=ys, y_final=y_final)

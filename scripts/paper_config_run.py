@@ -76,6 +76,7 @@ def run(regularize, steps, max_steps):
                 ce=float(stats["ce_loss"]),
                 acc=float(accuracy(stats["y_pred"], yb)),
                 reg=float(stats["reg_val"]),
+                success=bool(stats.get("solver_success", True)),
             )
             log.append(rec)
             print(f"  [{regularize}] {rec}", flush=True)
@@ -91,6 +92,9 @@ def run(regularize, steps, max_steps):
         regularize=regularize, log=log, wall_s=wall,
         final_eval_acc=float(accuracy(stats_e["y_pred"], ye)),
         final_eval_nfe=int(stats_e["nfe"]),
+        final_eval_success=bool(stats_e.get("solver_success", True)),
+        all_train_success=all(r["success"] for r in log),
+        max_steps=max_steps,
     )
 
 
