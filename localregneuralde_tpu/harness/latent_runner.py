@@ -110,29 +110,74 @@ def run_latent_ode_experiment(
     )
     tm = loggers["train_meters"]
 
+    # device-side window accumulator: ONE host sync per print window (the
+    # same hygiene as the classification runner — per-step float() costs
+    # ~35 ms each through the TPU relay)
+    stat_keys = ["net_loss", "neg_log_likelihood", "kl_div", "reg_val", "nfe"]
+
+    @jax.jit
+    def window_update(acc, loss, stats):
+        vals = {
+            "net_loss": loss,
+            "neg_log_likelihood": stats["neg_log_likelihood"],
+            "kl_div": stats["kl_div"],
+            "reg_val": stats["reg_val"],
+            "nfe": stats["nfe"].astype(jnp.float32),
+        }
+        return {
+            "sums": {k: acc["sums"][k] + vals[k] for k in stat_keys},
+            "n": acc["n"] + 1,
+            "ok": acc["ok"] & stats.get("solver_success", jnp.asarray(True)),
+        }
+
+    def zero_acc():
+        return {
+            "sums": {k: jnp.zeros(()) for k in stat_keys},
+            "n": jnp.zeros((), jnp.int32),
+            "ok": jnp.asarray(True),
+        }
+
+    from .train import make_phase_probes
+
+    measure_phases = make_phase_probes(model, loss_fn, optimizer)
+
     best_test_loss = np.inf
     data_iter = iter(train_loader)
+    acc = zero_acc()
+    data_time_sum = 0.0
+    t_window = time.perf_counter()
     for step in range(initial_step, cfg.train.total_steps + 1):
         t0 = time.perf_counter()
         xb, mb, dtb = next(data_iter)
-        data_time = time.perf_counter() - t0
+        data_time_sum += time.perf_counter() - t0
 
         w = (float(w_reg_sched(step)), float(w_kl_sched(step)))
         lr = float(lr_sched(step))
-        ts, loss, stats = train_step(
-            ts, (jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(dtb)), w, lr
-        )
+        batch = (jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(dtb))
+        ts, loss, stats = train_step(ts, batch, w, lr)
+        acc = window_update(acc, loss, stats)
         bs = xb.shape[0]
-        tm["batch_time"].update(time.perf_counter() - t0)
-        tm["data_time"].update(data_time)
-        tm["step_time"].update(time.perf_counter() - t0 - data_time)
-        tm["neg_log_likelihood"].update(float(stats["neg_log_likelihood"]), bs)
-        tm["kl_div"].update(float(stats["kl_div"]), bs)
-        tm["reg_val"].update(float(stats["reg_val"]), bs)
-        tm["net_loss"].update(float(loss), bs)
-        tm["nfe"].update(float(stats["nfe"]), bs)
 
         if step % cfg.train.print_frequency == 0:
+            wv = jax.device_get(acc)  # the window's single host sync
+            n = max(int(wv["n"]), 1)
+            window_wall = time.perf_counter() - t_window
+            for k in stat_keys:
+                tm[k].update(float(wv["sums"][k]) / n, n * bs)
+            t_fwd, t_fwdbwd = measure_phases(ts, batch, w)
+            step_time = window_wall / n
+            tm["batch_time"].update(window_wall / n, n)
+            tm["data_time"].update(data_time_sum / n, n)
+            tm["step_time"].update(step_time, n)
+            tm["fwd_time"].update(t_fwd, n)
+            tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
+            tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
+            if not bool(wv["ok"]):
+                print(
+                    f"WARNING [{step}]: adaptive solve exhausted max_steps "
+                    "within this window",
+                    flush=True,
+                )
             row = get_loggable_values(tm, loggers["train_header"], step)
             loggers["csv_train"].log(row)
             loggers["wandb"].log(
@@ -147,6 +192,9 @@ def run_latent_ode_experiment(
                 flush=True,
             )
             reset_meters(tm)
+            acc = zero_acc()
+            data_time_sum = 0.0
+            t_window = time.perf_counter()
 
         if step % cfg.train.evaluate_every == 0 or step == cfg.train.total_steps:
             mses, nfes, count = 0.0, 0.0, 0

@@ -128,7 +128,12 @@ def create_logger(
         loss_cols = ["ce_loss", "reg_val", "net_loss"]
     nfe_cols = ["nfe_drift", "nfe_diffusion"] if sde else ["nfe"]
     acc_cols = [] if latent_ode else ["accuracy_top1", "accuracy_top5"]
-    time_cols = ["batch_time", "data_time", "step_time"]
+    # reference column set (logging.jl:134-138): batch/data/fwd/bwd/opt
+    # wall-clock, plus the fused step_time
+    time_cols = [
+        "batch_time", "data_time", "fwd_time", "bwd_time", "opt_time",
+        "step_time",
+    ]
 
     train_header = ["step"] + time_cols + loss_cols + nfe_cols + acc_cols
     eval_header = ["step"] + loss_cols + nfe_cols + acc_cols

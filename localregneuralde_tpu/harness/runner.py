@@ -110,44 +110,86 @@ def run_classification_experiment(
     best_eval_acc = -np.inf
     data_iter = iter(train_loader)
 
-    t_batch = time.perf_counter()
+    # --- device-side window accumulator: ONE host sync per print window
+    # (per-step float() syncs cost ~35 ms each through the TPU relay and
+    # throttle real experiment throughput below bench steps/s)
+    sde = cfg.model.sde
+    stat_keys = (
+        ["net_loss", "ce_loss", "reg_val", "accuracy_top1", "accuracy_top5"]
+        + (["nfe_drift", "nfe_diffusion"] if sde else ["nfe"])
+    )
+
+    @jax.jit
+    def window_update(acc, loss, stats, yb):
+        a1, a5 = accuracy(stats["y_pred"], yb, (1, 5))
+        vals = {
+            "net_loss": loss,
+            "ce_loss": stats["ce_loss"],
+            "reg_val": stats["reg_val"],
+            "accuracy_top1": a1,
+            "accuracy_top5": a5,
+        }
+        if sde:
+            vals["nfe_drift"] = stats["nfe"][0].astype(jnp.float32)
+            vals["nfe_diffusion"] = stats["nfe"][1].astype(jnp.float32)
+        else:
+            vals["nfe"] = stats["nfe"].astype(jnp.float32)
+        return {
+            "sums": {k: acc["sums"][k] + vals[k] for k in stat_keys},
+            "n": acc["n"] + 1,
+            "ok": acc["ok"] & stats.get("solver_success", jnp.asarray(True)),
+        }
+
+    def zero_acc():
+        return {
+            "sums": {k: jnp.zeros(()) for k in stat_keys},
+            "n": jnp.zeros((), jnp.int32),
+            "ok": jnp.asarray(True),
+        }
+
+    # per-phase parity probes (fwd/bwd/opt columns), run once per window
+    from .train import make_phase_probes
+
+    measure_phases = make_phase_probes(model, loss_fn, optimizer)
+
+    acc = zero_acc()
+    data_time_sum = 0.0
+    t_window = time.perf_counter()
     for step in range(initial_step, total_steps + 1):
         t0 = time.perf_counter()
         xb, yb = next(data_iter)
-        data_time = time.perf_counter() - t0
+        data_time_sum += time.perf_counter() - t0
 
         w_reg = float(w_reg_sched(step))
         lr = float(lr_sched(step))
+        yb_dev = jnp.asarray(yb)
         ts, loss, stats = train_step(
-            ts, (jnp.asarray(xb), jnp.asarray(yb)), w_reg, lr
+            ts, (jnp.asarray(xb), yb_dev), w_reg, lr
         )
-        loss = float(loss)
-        step_time = time.perf_counter() - t0 - data_time
-        batch_time = time.perf_counter() - t_batch
-        t_batch = time.perf_counter()
-
-        acc1, acc5 = accuracy(stats["y_pred"], jnp.asarray(yb), (1, 5))
+        acc = window_update(acc, loss, stats, yb_dev)
         bs = xb.shape[0]
-        tm["batch_time"].update(batch_time)
-        tm["data_time"].update(data_time)
-        tm["step_time"].update(step_time)
-        tm["ce_loss"].update(float(stats["ce_loss"]), bs)
-        tm["reg_val"].update(float(stats["reg_val"]), bs)
-        tm["net_loss"].update(loss, bs)
-        if cfg.model.sde:
-            tm["nfe_drift"].update(float(stats["nfe"][0]), bs)
-            tm["nfe_diffusion"].update(float(stats["nfe"][1]), bs)
-        else:
-            tm["nfe"].update(float(stats["nfe"]), bs)
-        tm["accuracy_top1"].update(float(acc1), bs)
-        tm["accuracy_top5"].update(float(acc5), bs)
 
         if step % cfg.train.print_frequency == 0:
-            if not bool(stats.get("solver_success", True)):
+            w = jax.device_get(acc)  # the window's single host sync
+            n = max(int(w["n"]), 1)
+            window_wall = time.perf_counter() - t_window
+            for k in stat_keys:
+                tm[k].update(float(w["sums"][k]) / n, n * bs)
+            t_fwd, t_fwdbwd = measure_phases(
+                ts, (jnp.asarray(xb), yb_dev), w_reg
+            )
+            step_time = window_wall / n
+            tm["batch_time"].update(window_wall / n, n)
+            tm["data_time"].update(data_time_sum / n, n)
+            tm["step_time"].update(step_time, n)
+            tm["fwd_time"].update(t_fwd, n)
+            tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
+            tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
+            if not bool(w["ok"]):
                 print(
                     f"WARNING [{step}]: adaptive solve exhausted max_steps "
-                    "(integration truncated; raise solver.max_steps or loosen "
-                    "tolerances)",
+                    "within this window (integration truncated; raise "
+                    "solver.max_steps or loosen tolerances)",
                     flush=True,
                 )
             row = get_loggable_values(tm, loggers["train_header"], step)
@@ -164,6 +206,9 @@ def run_classification_experiment(
                 flush=True,
             )
             reset_meters(tm)
+            acc = zero_acc()
+            data_time_sum = 0.0
+            t_window = time.perf_counter()
 
         if step % cfg.train.evaluate_every == 0 or step == total_steps:
             eval_metrics = evaluate_classification(

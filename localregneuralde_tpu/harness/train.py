@@ -88,6 +88,53 @@ def make_eval_step(model, loss_fn) -> Callable:
     return eval_step
 
 
+def make_phase_probes(model, loss_fn, optimizer) -> Callable:
+    """Per-phase wall-clock parity metrics (reference ``utils.jl:107-121``
+    logs fwd/bwd/opt separately). The production step is one fused XLA
+    program, so phases are probed with two auxiliary programs — forward-only
+    and forward+backward — run once per print window (not per step, which
+    would throttle throughput):
+
+      fwd_time  = t(value-only)
+      bwd_time  = t(value_and_grad) − fwd_time
+      opt_time  = avg fused step time − t(value_and_grad)   (by the caller)
+    """
+
+    @jax.jit
+    def value_only(ts: TrainState, data, w_reg):
+        loss, _, _ = loss_fn(
+            model, ts.params, ts.state, data, w_reg, training=True
+        )
+        return loss
+
+    @jax.jit
+    def value_and_grad_only(ts: TrainState, data, w_reg):
+        def objective(params):
+            loss, _, _ = loss_fn(
+                model, params, ts.state, data, w_reg, training=True
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(objective)(ts.params)
+        return loss, optax.global_norm(grads)
+
+    def measure(ts, data, w_reg):
+        """Returns (fwd_time, fwdbwd_time) in seconds (compiled-path)."""
+        value_only(ts, data, w_reg).block_until_ready()  # ensure compiled
+        t0 = time.perf_counter()
+        value_only(ts, data, w_reg).block_until_ready()
+        t_fwd = time.perf_counter() - t0
+        _, gn = value_and_grad_only(ts, data, w_reg)
+        gn.block_until_ready()
+        t0 = time.perf_counter()
+        _, gn = value_and_grad_only(ts, data, w_reg)
+        gn.block_until_ready()
+        t_fwdbwd = time.perf_counter() - t0
+        return t_fwd, t_fwdbwd
+
+    return measure
+
+
 def run_training_step(train_step, ts, data, w_reg, lr, timed: bool = False):
     """Run one step; returns ``(ts, loss, stats, times)`` where times is a
     dict of wall-clock segments (total always; fwd/bwd/opt only for parity

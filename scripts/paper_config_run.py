@@ -49,7 +49,7 @@ def make_cfg(regularize, total_steps, max_steps):
     return cfg
 
 
-def run(regularize, steps, max_steps):
+def run(regularize, steps, max_steps, save_params=None):
     cfg = make_cfg(regularize, steps, max_steps)
     model = construct_model(cfg)
     loss_fn, w_sched = construct_loss(cfg)
@@ -82,6 +82,16 @@ def run(regularize, steps, max_steps):
             print(f"  [{regularize}] {rec}", flush=True)
     wall = time.time() - t_start
 
+    if save_params:
+        import pickle
+
+        with open(save_params, "wb") as f:
+            pickle.dump(
+                {"params": jax.device_get(ts.params),
+                 "state": jax.device_get(ts.state)}, f,
+            )
+        print(f"saved trained params to {save_params}", flush=True)
+
     # eval NFE on the inference (while-loop) path
     xe = jnp.asarray(x_test[:1024])
     ye = jnp.asarray(one_hot(y_test[:1024], 10))
@@ -102,11 +112,20 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     out = sys.argv[3] if len(sys.argv) > 3 else "paper_config_run.json"
+    arms = sys.argv[4].split(",") if len(sys.argv) > 4 else ["none", "unbiased"]
+    save_dir = sys.argv[5] if len(sys.argv) > 5 else None
     results = []
-    for reg in ("none", "unbiased"):
+    for reg in arms:
         print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}) ===",
               flush=True)
-        results.append(run(reg, steps, max_steps))
+        sp = f"{save_dir}/paper_params_{reg}.pkl" if save_dir else None
+        results.append(run(reg, steps, max_steps, save_params=sp))
+    if len(results) < 2:
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(results[0]["regularize"], "final_nfe",
+              results[0]["final_eval_nfe"])
+        return
     base = results[0]["final_eval_nfe"]
     results[1]["nfe_reduction_vs_none"] = base / max(
         results[1]["final_eval_nfe"], 1
