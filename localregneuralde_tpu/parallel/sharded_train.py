@@ -109,30 +109,57 @@ def make_sharded_train_step(
             stats,
         )
 
+    # `batch_sh` is a pytree *prefix*: it broadcasts over any data pytree
+    # (2-tuple classification batches, 3-tuple latent/SDE batches, dicts),
+    # sharding every leaf's leading (batch) axis over the data mesh axis.
     return jax.jit(
         step,
-        in_shardings=(None, jax.tree_util.tree_map(lambda _: batch_sh, ("x", "y")), repl, repl),
+        in_shardings=(None, batch_sh, repl, repl),
         donate_argnums=(0,),
     )
 
 
 def shard_train_state(ts: TrainState, mesh: Mesh,
                       rules: Optional[Dict[str, P]] = None) -> TrainState:
-    """Place params (per rules), optimizer state (matching params), and layer
-    state (replicated) onto the mesh."""
+    """Place params (per rules), optimizer state (moments sharded like their
+    params), and layer state (replicated) onto the mesh."""
     param_sh = make_param_shardings(ts.params, mesh, rules)
     repl = NamedSharding(mesh, P())
 
     params = jax.tree_util.tree_map(jax.device_put, ts.params, param_sh)
 
-    def put_opt(leaf):
-        return jax.device_put(leaf, repl)
+    # Optimizer moment trees (optax adam mu/nu etc.) mirror the param tree
+    # under inner paths like 'inner_state/0/0/mu/<param-path>'. Match each
+    # opt-state leaf to its param by longest path suffix (+ shape check) and
+    # reuse the param's sharding; anything unmatched is replicated.
+    p_flat = jax.tree_util.tree_flatten_with_path(ts.params)[0]
+    sh_flat = jax.tree_util.tree_flatten_with_path(
+        param_sh, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )[0]
+    by_path = {
+        _path_str(path): (sh, leaf.shape)
+        for (path, leaf), (_, sh) in zip(p_flat, sh_flat)
+    }
 
-    # optimizer state leaves that mirror param shapes get param shardings;
-    # a simple heuristic: same shape as some param ⇒ same sharding is not
-    # tracked here — replicate moments (correct, just not memory-minimal).
-    opt_state = jax.tree_util.tree_map(put_opt, ts.opt_state)
-    state = jax.tree_util.tree_map(put_opt, ts.state)
+    def opt_sharding_for(path, leaf):
+        s = _path_str(path)
+        if not hasattr(leaf, "shape"):
+            return repl
+        best_sh, best_len = repl, -1
+        for ppath, (sh, shape) in by_path.items():
+            if leaf.shape == shape and (
+                s == ppath or s.endswith("/" + ppath)
+            ) and len(ppath) > best_len:
+                best_sh, best_len = sh, len(ppath)
+        return best_sh
+
+    def put_opt(path, leaf):
+        return jax.device_put(leaf, opt_sharding_for(path, leaf))
+
+    opt_state = jax.tree_util.tree_map_with_path(put_opt, ts.opt_state)
+    state = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(leaf, repl), ts.state
+    )
     return TrainState(
         params=params, state=state, opt_state=opt_state,
         step=jax.device_put(ts.step, repl),
