@@ -23,6 +23,10 @@ class SolverConfig:
     # cost ∝ accepted steps) | direct | interpolating (reference default
     # sensealg, neural_ode.jl:11) | backsolve
     adjoint: str = "stored"
+    # MXU input precision for dynamics matmuls: auto (highest iff
+    # rtol < 1e-4 — TPU's default one-pass-bf16 f32 matmuls flood the error
+    # estimate with noise at tight tolerances) | default | high | highest
+    precision: str = "auto"
 
 
 @dataclass

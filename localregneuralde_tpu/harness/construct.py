@@ -74,6 +74,7 @@ def _node_kwargs(cfg: ExperimentConfig):
         regularize_type=cfg.model.regularize_type,
         solver=s.ode_solver,
         adjoint=s.adjoint,
+        precision=s.precision,
     )
 
 
@@ -129,6 +130,8 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
             max_steps=s.max_steps,
             checkpoint_every=s.checkpoint_every,
             regularize=m.regularize,
+            adjoint=s.adjoint,
+            precision=s.precision,
         ),
         sol_to_arr=WrappedFunction(diffeqsol_to_array),
         classifier=Dense(32, m.num_classes),

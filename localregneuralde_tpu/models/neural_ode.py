@@ -62,6 +62,7 @@ class NeuralODE(Module):
         adjoint: str = "stored",
         solver: str = "tsit5",
         use_pallas: bool = False,
+        precision: str = "auto",
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -91,6 +92,13 @@ class NeuralODE(Module):
         self.adjoint = adjoint
         self.solver = solver
         self.use_pallas = use_pallas
+        # MXU input precision for all dynamics-path matmuls: at tight
+        # tolerances TPU DEFAULT (one bf16 pass) floods the embedded error
+        # estimate with rounding noise and the solver can never accept a
+        # step (see nn.resolve_solver_precision).
+        from ..nn.basic import resolve_solver_precision
+
+        self.mm_precision = resolve_solver_precision(precision, self.rtol)
         if use_pallas:
             from ..models.common import TDChain
             from ..nn.basic import Dense
@@ -122,17 +130,30 @@ class NeuralODE(Module):
     # -- dynamics: wrap the inner model as stateful f(u, t, p, st) -> (du, st)
     def _dynamics(self, training: bool):
         if self.use_pallas:
-            from ..ops.pallas.fused_mlp import fused_tdmlp
+            from ..ops.pallas.fused_mlp import get_fused_tdmlp
+
+            fused = get_fused_tdmlp(self.mm_precision)
 
             def f(u, t, p, st):
-                return fused_tdmlp(p["model"], u, t), st
+                return fused(p["model"], u, t), st
 
             return f
 
+        prec = self.mm_precision
+
         def f(u, t, p, st):
-            y, st_new = self.model(
-                p["model"], st, ArrayAndTime(u, t), training=training
-            )
+            if prec is not None:
+                # bake the precision into every matmul/conv traced in the
+                # dynamics (covers arbitrary user models without a
+                # per-layer knob)
+                with jax.default_matmul_precision(prec):
+                    y, st_new = self.model(
+                        p["model"], st, ArrayAndTime(u, t), training=training
+                    )
+            else:
+                y, st_new = self.model(
+                    p["model"], st, ArrayAndTime(u, t), training=training
+                )
             return get_array(y), st_new
 
         return f
@@ -142,10 +163,12 @@ class NeuralODE(Module):
         if not self.use_pallas:
             return None
         from ..ode.step import Tsit5StepResult
-        from ..ops.pallas.fused_mlp import fused_tsit5_step
+        from ..ops.pallas.fused_mlp import get_fused_tsit5_step
+
+        fused_step = get_fused_tsit5_step(self.mm_precision)
 
         def step(fn, u, t, dt, k1, p, f_st):
-            u_new, utilde, k2, k3, k4, k5, k6, k7, g6 = fused_tsit5_step(
+            u_new, utilde, k2, k3, k4, k5, k6, k7, g6 = fused_step(
                 p["model"], u, t, dt, k1
             )
             return Tsit5StepResult(

@@ -55,6 +55,7 @@ class NeuralDSDE(Module):
         solver: str = "sri",
         delta: float = 1 / 6,
         noise_dims: Optional[int] = None,
+        precision: str = "auto",
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -79,6 +80,9 @@ class NeuralDSDE(Module):
         self.solver = solver
         self.delta = float(delta)
         self.noise_dims = None if noise_dims is None else int(noise_dims)
+        from ..nn.basic import resolve_solver_precision
+
+        self.mm_precision = resolve_solver_precision(precision, self.rtol)
 
     def init(self, key):
         dk, gk, sk = jax.random.split(key, 3)
@@ -96,16 +100,20 @@ class NeuralDSDE(Module):
         return {"drift": dp, "diffusion": gp}, state
 
     def _dynamics(self, training: bool):
+        prec = self.mm_precision
+
+        def _apply(module, p, st, u, t):
+            if prec is not None:
+                with jax.default_matmul_precision(prec):
+                    return module(p, st, ArrayAndTime(u, t), training=training)
+            return module(p, st, ArrayAndTime(u, t), training=training)
+
         def f(u, t, p, st):
-            y, st_new = self.drift(
-                p["drift"], st, ArrayAndTime(u, t), training=training
-            )
+            y, st_new = _apply(self.drift, p["drift"], st, u, t)
             return get_array(y), st_new
 
         def g(u, t, p, st):
-            y, st_new = self.diffusion(
-                p["diffusion"], st, ArrayAndTime(u, t), training=training
-            )
+            y, st_new = _apply(self.diffusion, p["diffusion"], st, u, t)
             y = get_array(y)
             if self.noise_dims is not None:
                 # matrix diffusion: the network emits (..., d·m) which is

@@ -40,28 +40,35 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _eval_mlp(x, s, w1, b1, w1t, w2, b2, w2t):
-    """One time-dependent MLP evaluation at scalar stage time s (in VMEM)."""
+def _eval_mlp(x, s, w1, b1, w1t, w2, b2, w2t, precision=None):
+    """One time-dependent MLP evaluation at scalar stage time s (in VMEM).
+
+    ``precision`` sets the MXU input precision: None = backend default (one
+    bf16 pass — inadequate below rtol 1e-4, see nn.resolve_solver_precision);
+    'highest' = f32-exact multi-pass.
+    """
     h = jnp.tanh(
-        jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1 + s * w1t
+        jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                precision=precision) + b1 + s * w1t
     )
     return (
-        jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2 + s * w2t
+        jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                precision=precision) + b2 + s * w2t
     )
 
 
-def _tdmlp_kernel(ts_ref, x_ref, w1_ref, b1_ref, w1t_ref, w2_ref, b2_ref,
-                  w2t_ref, out_ref):
+def _tdmlp_kernel(precision, ts_ref, x_ref, w1_ref, b1_ref, w1t_ref, w2_ref,
+                  b2_ref, w2t_ref, out_ref):
     s = ts_ref[0]
     out_ref[:] = _eval_mlp(
         x_ref[:], s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
-        b2_ref[:], w2t_ref[:],
+        b2_ref[:], w2t_ref[:], precision,
     )
 
 
-def _step_kernel(sc_ref, u_ref, k1_ref, w1_ref, b1_ref, w1t_ref, w2_ref,
-                 b2_ref, w2t_ref, unew_ref, utilde_ref, k2_ref, k3_ref,
-                 k4_ref, k5_ref, k6_ref, k7_ref, g6_ref):
+def _step_kernel(precision, sc_ref, u_ref, k1_ref, w1_ref, b1_ref, w1t_ref,
+                 w2_ref, b2_ref, w2t_ref, unew_ref, utilde_ref, k2_ref,
+                 k3_ref, k4_ref, k5_ref, k6_ref, k7_ref, g6_ref):
     t = sc_ref[0]
     dt = sc_ref[1]
     u = u_ref[:]
@@ -69,7 +76,7 @@ def _step_kernel(sc_ref, u_ref, k1_ref, w1_ref, b1_ref, w1t_ref, w2_ref,
     w = (w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:], b2_ref[:], w2t_ref[:])
 
     def f(x, s):
-        return _eval_mlp(x, s, *w)
+        return _eval_mlp(x, s, *w, precision)
 
     k2 = f(u + dt * (T.a21 * k1), t + T.c1 * dt)
     k3 = f(u + dt * (T.a31 * k1 + T.a32 * k2), t + T.c2 * dt)
@@ -146,17 +153,17 @@ def _pick_tile(batch: int, features: int = 784, n_buffers: int = 20) -> int:
 # identical to the kernels, so jax.vjp of these transposes the fused ops)
 
 
-def _pure_tdmlp(params, x, s):
+def _pure_tdmlp(params, x, s, precision=None):
     # NOTE: deliberately unpadded — padding here (inside the custom-VJP
     # backward, under remat, per scan step) inflates XLA compile time badly
     # for no measured end-to-end win; the kernels pad independently.
     w1, b1, w1t, w2, b2, w2t = _split_params(params)
-    return _eval_mlp(x, s, w1, b1[0], w1t[0], w2, b2[0], w2t[0])
+    return _eval_mlp(x, s, w1, b1[0], w1t[0], w2, b2[0], w2t[0], precision)
 
 
-def _pure_step(params, u, t, dt, k1):
+def _pure_step(params, u, t, dt, k1, precision=None):
     def f(x, s):
-        return _pure_tdmlp(params, x, s)
+        return _pure_tdmlp(params, x, s, precision)
 
     k2 = f(u + dt * (T.a21 * k1), t + T.c1 * dt)
     k3 = f(u + dt * (T.a31 * k1 + T.a32 * k2), t + T.c2 * dt)
@@ -181,27 +188,35 @@ def _pure_step(params, u, t, dt, k1):
     return (u_new, utilde, k2, k3, k4, k5, k6, k7, g6)
 
 
-@jax.custom_vjp
-def fused_tdmlp(params, x, s):
-    """One fused dynamics evaluation: x (B, F) → dx (B, F) at time s.
-    Differentiable: backward transposes the pure-JAX twin."""
-    return _fused_tdmlp_impl(params, x, s)
+@functools.lru_cache(maxsize=None)
+def get_fused_tdmlp(precision=None):
+    """Fused dynamics evaluation at the given MXU input precision."""
+
+    @jax.custom_vjp
+    def fused_tdmlp(params, x, s):
+        """One fused dynamics evaluation: x (B, F) → dx (B, F) at time s.
+        Differentiable: backward transposes the pure-JAX twin."""
+        return _fused_tdmlp_impl(params, x, s, precision)
+
+    def _fwd(params, x, s):
+        return _fused_tdmlp_impl(params, x, s, precision), (params, x, s)
+
+    def _bwd(res, ct):
+        params, x, s = res
+        _, vjp = jax.vjp(
+            lambda p_, x_, s_: _pure_tdmlp(p_, x_, s_, precision),
+            params, x, s,
+        )
+        return vjp(ct)
+
+    fused_tdmlp.defvjp(_fwd, _bwd)
+    return fused_tdmlp
 
 
-def _fused_tdmlp_fwd(params, x, s):
-    return _fused_tdmlp_impl(params, x, s), (params, x, s)
+fused_tdmlp = get_fused_tdmlp(None)
 
 
-def _fused_tdmlp_bwd(res, ct):
-    params, x, s = res
-    _, vjp = jax.vjp(_pure_tdmlp, params, x, s)
-    return vjp(ct)
-
-
-fused_tdmlp.defvjp(_fused_tdmlp_fwd, _fused_tdmlp_bwd)
-
-
-def _fused_tdmlp_impl(params, x, s):
+def _fused_tdmlp_impl(params, x, s, precision=None):
     w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
     B, F = x.shape
     H = w1.shape[1]
@@ -212,7 +227,7 @@ def _fused_tdmlp_impl(params, x, s):
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
-        _tdmlp_kernel,
+        functools.partial(_tdmlp_kernel, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -232,34 +247,44 @@ def _fused_tdmlp_impl(params, x, s):
     )(ts, x, w1, b1, w1t, w2, b2, w2t)
 
 
-@jax.custom_vjp
-def fused_tsit5_step(params, u, t, dt, k1):
-    """Entire Tsit5 step for the TD-MLP dynamics, fused in VMEM.
+@functools.lru_cache(maxsize=None)
+def get_fused_tsit5_step(precision=None):
+    """Fused Tsit5 step at the given MXU input precision (None = backend
+    default; 'highest' = f32-exact — REQUIRED below rtol 1e-4, where the
+    default bf16-pass noise in ũ makes acceptance impossible)."""
 
-    Returns ``(u_new, utilde, k2, k3, k4, k5, k6, k7, g6)`` matching the
-    generic step's contract (``ode/step.py``); 12 matmuls, no intermediate
-    HBM traffic (stage derivatives are written out once for the dense-output
-    interpolant, ~1.7 µs of extra bandwidth at B=512). Differentiable via a
-    custom VJP that transposes the pure-JAX twin (the same recomputation the
-    remat'd solver scan performs anyway).
-    """
-    return _fused_step_impl(params, u, t, dt, k1)
+    @jax.custom_vjp
+    def fused_tsit5_step(params, u, t, dt, k1):
+        """Entire Tsit5 step for the TD-MLP dynamics, fused in VMEM.
+
+        Returns ``(u_new, utilde, k2, k3, k4, k5, k6, k7, g6)`` matching the
+        generic step's contract (``ode/step.py``); 12 matmuls, no
+        intermediate HBM traffic (stage derivatives are written out once for
+        the dense-output interpolant). Differentiable via the hand-fused
+        Pallas backward kernel.
+        """
+        return _fused_step_impl(params, u, t, dt, k1, precision)
+
+    def _fwd(params, u, t, dt, k1):
+        return (
+            _fused_step_impl(params, u, t, dt, k1, precision),
+            (params, u, t, dt, k1),
+        )
+
+    def _bwd(res, ct):
+        """Hand-fused Pallas backward (fused_mlp_bwd.py): forward recompute
+        + reverse through all stages + weight-grad accumulation in one
+        kernel. Returns zero cotangents for (t, dt) — exact for every
+        exposed gradient because the solver stop_gradient-fences both (see
+        fused_mlp_bwd docstring; parity asserted in tests)."""
+        params, u, t, dt, k1 = res
+        return fused_step_bwd(params, u, t, dt, k1, tuple(ct), precision)
+
+    fused_tsit5_step.defvjp(_fwd, _bwd)
+    return fused_tsit5_step
 
 
-def _fused_step_fwd(params, u, t, dt, k1):
-    return _fused_step_impl(params, u, t, dt, k1), (params, u, t, dt, k1)
-
-
-def _fused_step_bwd(res, ct):
-    """Hand-fused Pallas backward (fused_mlp_bwd.py): forward recompute +
-    reverse through all stages + weight-grad accumulation in one kernel.
-    Returns zero cotangents for (t, dt) — exact for every exposed gradient
-    because the solver stop_gradient-fences both (see fused_mlp_bwd
-    docstring; parity asserted in tests). The pure-twin transpose remains
-    available as ``_fused_step_bwd_reference`` for debugging.
-    """
-    params, u, t, dt, k1 = res
-    return fused_step_bwd(params, u, t, dt, k1, tuple(ct))
+fused_tsit5_step = get_fused_tsit5_step(None)
 
 
 def _fused_step_bwd_reference(res, ct):
@@ -267,10 +292,7 @@ def _fused_step_bwd_reference(res, ct):
     return vjp(tuple(ct))
 
 
-fused_tsit5_step.defvjp(_fused_step_fwd, _fused_step_bwd)
-
-
-def _fused_step_impl(params, u, t, dt, k1):
+def _fused_step_impl(params, u, t, dt, k1, precision=None):
     w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
     B, F = u.shape
     H = w1.shape[1]
@@ -284,7 +306,7 @@ def _fused_step_impl(params, u, t, dt, k1):
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _step_kernel,
+        functools.partial(_step_kernel, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -21,6 +21,8 @@ the framework exposes (asserted against the pure-twin VJP in tests).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -49,7 +51,7 @@ _BTILDE = (T.btilde1, T.btilde2, T.btilde3, T.btilde4, T.btilde5, T.btilde6,
            T.btilde7)
 
 
-def _bwd_kernel(sc_ref, u_ref, k1_ref,
+def _bwd_kernel(precision, sc_ref, u_ref, k1_ref,
                 w1_ref, b1_ref, w1t_ref, w2_ref, b2_ref, w2t_ref,
                 d_unew_ref, d_utilde_ref, d_k2_ref, d_k3_ref, d_k4_ref,
                 d_k5_ref, d_k6_ref, d_k7_ref, d_g6_ref,
@@ -72,10 +74,11 @@ def _bwd_kernel(sc_ref, u_ref, k1_ref,
         for a, k in zip(a_row, ks):
             x = x + (dt * a) * k
         s = t + c * dt
-        z = jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1 + s * w1t
+        z = jnp.dot(x, w1, preferred_element_type=jnp.float32, precision=precision) + b1 + s * w1t
         h = jnp.tanh(z)
         k_new = (
-            jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2 + s * w2t
+            jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                    precision=precision) + b2 + s * w2t
         )
         ks.append(k_new)
         xs.append(x)
@@ -124,16 +127,16 @@ def _bwd_kernel(sc_ref, u_ref, k1_ref,
         h = hs[i]
         x = xs[i]
         s = ss[i]
-        dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32)
+        dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32, precision=precision)
         dz = dh * (1.0 - h * h)
-        dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32)
+        dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32, precision=precision)
         dw1_acc = dw1_acc + jnp.dot(
-            x.T, dz, preferred_element_type=jnp.float32
+            x.T, dz, preferred_element_type=jnp.float32, precision=precision
         )
         db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
         dw1t_acc = dw1t_acc + s * jnp.sum(dz, axis=0, keepdims=True)
         dw2_acc = dw2_acc + jnp.dot(
-            h.T, dk, preferred_element_type=jnp.float32
+            h.T, dk, preferred_element_type=jnp.float32, precision=precision
         )
         db2_acc = db2_acc + jnp.sum(dk, axis=0, keepdims=True)
         dw2t_acc = dw2t_acc + s * jnp.sum(dk, axis=0, keepdims=True)
@@ -166,7 +169,7 @@ def _bwd_kernel(sc_ref, u_ref, k1_ref,
     dw2t_ref[:] += dw2t_acc
 
 
-def fused_step_bwd(params, u, t, dt, k1, cts):
+def fused_step_bwd(params, u, t, dt, k1, cts, precision=None):
     """Run the fused backward kernel; returns (d_params, d_u, 0, 0, d_k1)
     in the TDChain param structure."""
     from .fused_mlp import _pick_tile, _split_params
@@ -188,7 +191,7 @@ def fused_step_bwd(params, u, t, dt, k1, cts):
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, precision),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [tile(), tile()]
