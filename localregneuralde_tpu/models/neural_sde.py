@@ -1,8 +1,11 @@
 """NeuralDSDE — drift+diffusion neural SDE layer with local regularization.
 
-Reference: ``src/layers/neural_sde.jl``. Diagonal noise; default solver is
-the four-stage SRI scheme (the reference's ``SOSRI()`` role — see
-``sde/tableaus.py`` for the documented tableau deviation).
+Reference: ``src/layers/neural_sde.jl``. Diagonal noise by default
+(``noise_dims`` enables the non-diagonal commutative-Milstein path); the
+default solver is ``'sosri'`` — the stability-optimized four-stage SRI
+tableau, matching the reference's ``SOSRI()`` default
+(``neural_sde.jl:12``; our drift block is independently derived, see
+``sde/tableaus.py``). ``'sri'`` selects classical SRIW1.
 
 Semantics preserved:
 - state carries ``{drift, diffusion, nfe_drift, nfe_diffusion, reg_val, rng}``
@@ -52,7 +55,7 @@ class NeuralDSDE(Module):
         checkpoint_every: int = 16,
         saveat: Optional[Any] = None,
         adjoint: str = "stored",
-        solver: str = "sri",
+        solver: str = "sosri",
         delta: float = 1 / 6,
         noise_dims: Optional[int] = None,
         precision: str = "auto",
@@ -211,9 +214,12 @@ class NeuralDSDE(Module):
         # reference's _perform_step dispatch on the main integrator's cache
         # (neural_sde.jl:96-98 passes n.solver to _get_dsde_integrator)
         if self.solver in ("sri", "sosri"):
+            from ..sde.tableaus import get_sri_tableau
+
             step = sri_step(
                 f, g, u1, t1, dt_r, dW, dZ, params, sol.f_state,
                 sol.g_state, self.atol, self.rtol, self.delta,
+                tableau=get_sri_tableau(self.solver),
             )
         elif self.solver == "milstein":
             if noise_shape is not None:

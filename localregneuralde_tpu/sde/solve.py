@@ -31,6 +31,7 @@ from .step import (
     milstein_commute_step_nondiag,
     sri_step,
 )
+from .tableaus import get_sri_tableau
 
 
 @pytree_dataclass
@@ -240,7 +241,7 @@ def sdesolve(
         if solver in ("sri", "sosri"):
             res = sri_step(
                 fn, gn, s.u, s.t, dt_c, dW, dZ, p, s.f_st, s.g_st,
-                atol, rtol, delta,
+                atol, rtol, delta, tableau=get_sri_tableau(solver),
             )
         elif solver == "milstein":
             if noise_shape is not None:

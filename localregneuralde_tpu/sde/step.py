@@ -20,7 +20,7 @@ from ..ops.residuals import (
     internal_norm,
     sde_error_residuals,
 )
-from .tableaus import SRIW1Tableau as T
+from .tableaus import SRIW1Tableau
 
 
 class SDEStepResult(NamedTuple):
@@ -34,10 +34,13 @@ class SDEStepResult(NamedTuple):
 
 def sri_step(
     f: Callable, g: Callable, u, t, dt, dW, dZ, p, f_state, g_state,
-    atol, rtol, delta: float = 1 / 6,
+    atol, rtol, delta: float = 1 / 6, tableau=None,
 ) -> SDEStepResult:
     """One four-stage SRI step (diagonal Itô noise), reference
-    ``src/perform_step.jl:49-106``. 4 drift + 4 diffusion evaluations."""
+    ``src/perform_step.jl:49-106``. 4 drift + 4 diffusion evaluations.
+    ``tableau`` selects the coefficient set (SRIW1 default; SOSRITableau
+    for the stability-optimized drift block)."""
+    T = tableau if tableau is not None else SRIW1Tableau
     sqdt = jnp.sqrt(dt)
     sqrt3 = jnp.sqrt(jnp.asarray(3.0, dt.dtype if hasattr(dt, "dtype") else jnp.float32))
 

@@ -35,6 +35,7 @@ from .step import (
     milstein_commute_step_nondiag,
     sri_step,
 )
+from .tableaus import get_sri_tableau
 
 
 def stored_sdesolve(
@@ -96,7 +97,7 @@ def stored_sdesolve(
         if solver in ("sri", "sosri"):
             res = sri_step(
                 fn_st, gn_st, u, t, dt, dW, dZ, p_, None, None,
-                atol, rtol, delta,
+                atol, rtol, delta, tableau=get_sri_tableau(solver),
             )
         elif solver == "milstein":
             if noise_shape is not None:

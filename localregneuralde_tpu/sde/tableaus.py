@@ -3,13 +3,20 @@
 Four-stage SRI scheme for diagonal-noise Itô SDEs (Rößler 2010, SIAM J.
 Numer. Anal. 48 — the SRIW1 coefficient set), the generic structure behind
 the reference's ``FourStageSRIConstantCache`` step
-(``src/perform_step.jl:49-106``).
+(``src/perform_step.jl:49-106``), plus a stability-optimized variant filling
+the role of StochasticDiffEq's SOSRI (the reference's default solver,
+``src/layers/neural_sde.jl:12``).
 
-Documented deviation: the reference's default SDE solver is StochasticDiffEq's
-stability-optimized SOSRI tableau; its (decimal) coefficients are not
-re-derivable here, so the classical SRIW1 tableau (exact rationals, same
-structure, same strong order 1.5 / weak order 2) fills the role. A
-strong-convergence test validates order empirically.
+``SOSRITableau`` is derived from scratch (scripts/derive_sosri_drift.py):
+the DRIFT block (A⁰, B⁰, α, c⁰) is re-optimized for a maximal negative-real-
+axis stability interval — R(z) = 1 + z + z²/2 + p₃z³ + p₄z⁴ with (p₃, p₄)
+chosen by damped-Chebyshev optimization, giving L ≈ 10.16 vs SRIW1's 2.0 —
+subject to the three drift order conditions αᵀe = 1, αᵀA⁰e = 1/2,
+αᵀB⁰e = 1. The DIFFUSION block is exactly SRIW1's, so every order-1.5
+condition involving it is preserved; strong order is verified empirically
+(tests/test_sosri.py). The upstream SOSRI's decimal coefficients are not
+available offline — this is an independent same-class derivation, not a
+copy.
 """
 from __future__ import annotations
 
@@ -73,6 +80,39 @@ class SRIW1Tableau:
     beta41, beta42, beta43, beta44 = -2.0, 5 / 3, -2 / 3, 1.0
 
 
-# the reference names its default SDE solver SOSRI (src/layers/neural_sde.jl:12);
-# this framework routes that name to the SRIW1 tableau (see module docstring).
-SOSRITableau = SRIW1Tableau
+class SOSRITableau(SRIW1Tableau):
+    """Stability-optimized four-stage SRI (drift block re-derived; diffusion
+    block inherited from SRIW1 — see module docstring).
+
+    Drift stability function R(z) = 1 + z + z²/2 + p₃z³ + p₄z⁴ with
+    p₃ = αᵀ(A⁰)²e ≈ 0.0923153, p₄ = αᵀ(A⁰)³e ≈ 0.0051957: |R(z)| ≤ 1 on
+    [−10.156, 0] (1%-damped interior), ~5× SRIW1's [−2, 0] — larger stable
+    steps on pathwise-stiff drift at equal tolerance, the property the
+    reference's SOSRI exists for.
+    """
+
+    # pure-subdiagonal A0; stage times c⁰ = A⁰e
+    a021 = 0.5
+    a031 = 0.0
+    a032 = 0.75
+    a041 = 0.0
+    a042 = 0.0
+    a043 = 1.0
+    b021 = 1.5513640431410758
+    b031 = 0.0
+    b032 = 0.0
+    b041 = 0.0
+    b042 = 0.0
+    b043 = 0.0
+    c02 = 0.5
+    c03 = 0.75
+    c04 = 1.0
+    alpha1 = 0.12308703268250232
+    alpha2 = 0.6445940296355466
+    alpha3 = 0.2184638099988976
+    alpha4 = 0.0138551276830535
+
+
+def get_sri_tableau(solver: str):
+    """Tableau for an SRI-family solver name."""
+    return SOSRITableau if solver == "sosri" else SRIW1Tableau
