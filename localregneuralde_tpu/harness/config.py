@@ -46,6 +46,9 @@ class ModelConfig:
     # fused Pallas TD-MLP kernels ("auto": on for TPU backends when the
     # dynamics is a 2-layer TDChain; "on"/"off" force)
     use_pallas: str = "auto"
+    # low-precision dynamics compute (bandwidth lever for the conv family;
+    # float32 | bfloat16); solver math stays f32 regardless
+    dynamics_compute_dtype: str = "float32"
     # time_series
     ts_in_dims: int = 37
     ts_hidden_dims: int = 40

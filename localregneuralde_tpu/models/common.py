@@ -15,6 +15,68 @@ from ..core.containers import ArrayAndTime, get_array
 from ..nn.module import Module
 
 
+def _apply_time_dependent(layer, params, state, arr, t, training):
+    """Concat-free fast path for conv sublayers of a TDChain.
+
+    ``conv(concat(x, t·1), W) = conv(x, W[:,:,:C,:]) + t·conv(1, W[:,:,C:,:])``
+    exactly (linearity), so the time channel becomes a tiny 1-channel conv of
+    a constant ones image — avoiding (a) materializing the (B,H,W,C+1)
+    concat copy every dynamics eval and (b) the MXU-unfriendly odd channel
+    count (65 instead of 64) in the CIFAR dynamics. Returns None when the
+    layer has no conv fast path (generic concat applies). Parameter layout
+    is IDENTICAL to the concat path (last input channel = time), so
+    checkpoints and reference parity are unaffected.
+    """
+    from ..nn.basic import Chain, Conv
+    from jax import lax as _lax
+
+    def conv_split(conv: "Conv", p, x):
+        w = p["w"]  # (kh, kw, C+1, Cout); last input channel = time
+        c = x.shape[-1]
+        if w.shape[2] != c + 1:
+            return None
+        y = _lax.conv_general_dilated(
+            x, w[:, :, :c, :], window_strides=conv.stride,
+            padding=conv.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv.precision,
+        )
+        ones1 = jnp.ones((1,) + x.shape[1:-1] + (1,), x.dtype)
+        tmap = _lax.conv_general_dilated(
+            ones1, w[:, :, c:, :], window_strides=conv.stride,
+            padding=conv.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=conv.precision,
+        )
+        y = y + jnp.asarray(t, x.dtype) * tmap
+        if conv.use_bias:
+            y = y + p["b"]
+        return conv.activation(y)
+
+    if isinstance(layer, Conv):
+        y = conv_split(layer, params, arr)
+        return None if y is None else (y, state)
+
+    if isinstance(layer, Chain):
+        names = list(layer.layers.keys())
+        if not names:
+            return None
+        first = layer.layers[names[0]]
+        if not isinstance(first, Conv):
+            return None
+        y = conv_split(first, params[names[0]], arr)
+        if y is None:
+            return None
+        new_state = {names[0]: state[names[0]]}
+        for nm in names[1:]:
+            y, new_state[nm] = layer.layers[nm](
+                params[nm], state[nm], y, training=training
+            )
+        return y, new_state
+
+    return None
+
+
 class TDChain(Module):
     """Time-dependent chain (reference ``src/layers/common.jl:1-45``).
 
@@ -56,11 +118,19 @@ class TDChain(Module):
 
         new_state = {}
         for name, layer in self.layers.items():
-            t_channel = jnp.ones(arr.shape[:-1] + (1,), arr.dtype) * t
-            arr_t = jnp.concatenate([arr, t_channel], axis=-1)
-            arr, new_state[name] = layer(
-                params[name], state[name], arr_t, training=training
+            out = _apply_time_dependent(
+                layer, params[name], state[name], arr, t, training
             )
+            if out is None:
+                # generic path: concatenate the ones·t channel.
+                # full() keeps arr.dtype (ones*t would promote bf16·f32 →
+                # f32 and break low-precision dynamics compute)
+                t_channel = jnp.full(arr.shape[:-1] + (1,), t, arr.dtype)
+                arr_t = jnp.concatenate([arr, t_channel], axis=-1)
+                out = layer(
+                    params[name], state[name], arr_t, training=training
+                )
+            arr, new_state[name] = out
             arr = get_array(arr)
 
         if rewrap == "aat":

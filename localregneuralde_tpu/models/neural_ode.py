@@ -63,6 +63,7 @@ class NeuralODE(Module):
         solver: str = "tsit5",
         use_pallas: bool = False,
         precision: str = "auto",
+        compute_dtype: Optional[str] = None,
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -99,6 +100,30 @@ class NeuralODE(Module):
         from ..nn.basic import resolve_solver_precision
 
         self.mm_precision = resolve_solver_precision(precision, self.rtol)
+        # optional low-precision DYNAMICS compute (bandwidth lever for the
+        # conv family): u and params are cast to this dtype inside the
+        # dynamics only; du is upcast back, so all solver math (error
+        # estimate, controller, update) stays f32. Mutually exclusive with
+        # tight-tolerance 'highest' precision — bf16 noise (~4e-3 relative)
+        # would swamp the estimate there.
+        if compute_dtype not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32/bfloat16, got {compute_dtype!r}"
+            )
+        self.compute_dtype = (
+            None if compute_dtype in (None, "float32") else jnp.bfloat16
+        )
+        if self.compute_dtype is not None and self.mm_precision is not None:
+            raise ValueError(
+                "compute_dtype='bfloat16' is incompatible with tight-"
+                "tolerance precision='highest' (rtol < 1e-4): the bf16 "
+                "dynamics noise would swamp the error estimate"
+            )
+        if self.compute_dtype is not None and use_pallas:
+            raise ValueError(
+                "compute_dtype='bfloat16' is not supported by the fused "
+                "Pallas TD-MLP kernels (f32 VMEM pipeline)"
+            )
         if use_pallas:
             from ..models.common import TDChain
             from ..nn.basic import Dense
@@ -140,21 +165,34 @@ class NeuralODE(Module):
             return f
 
         prec = self.mm_precision
+        cdt = self.compute_dtype
 
         def f(u, t, p, st):
+            pm = p["model"]
+            u_in = u
+            if cdt is not None:
+                u_in = u.astype(cdt)
+                pm = jax.tree_util.tree_map(
+                    lambda a: a.astype(cdt)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                    pm,
+                )
             if prec is not None:
                 # bake the precision into every matmul/conv traced in the
                 # dynamics (covers arbitrary user models without a
                 # per-layer knob)
                 with jax.default_matmul_precision(prec):
                     y, st_new = self.model(
-                        p["model"], st, ArrayAndTime(u, t), training=training
+                        pm, st, ArrayAndTime(u_in, t), training=training
                     )
             else:
                 y, st_new = self.model(
-                    p["model"], st, ArrayAndTime(u, t), training=training
+                    pm, st, ArrayAndTime(u_in, t), training=training
                 )
-            return get_array(y), st_new
+            du = get_array(y)
+            if cdt is not None:
+                du = du.astype(u.dtype)
+            return du, st_new
 
         return f
 

@@ -275,19 +275,26 @@ def odesolve(
         upd = accept & ~s.done
 
         # --- dense output onto the saveat grid ---
-        def interp_at(ts_save):
-            theta = jnp.clip((ts_save - s.t) / dt_c, 0.0, 1.0)
-            return tsit5_interpolate(s.u, dt_c, res.ks, theta)
-
-        y_interp = jax.vmap(interp_at)(saveat_arr)
+        # gated on any saveat time landing in this step: interpolation reads
+        # all 7 stage tensors, but most steps hit no output time (saveat is
+        # typically just {t_end}), so lax.cond skips that traffic at runtime
         hit = (saveat_arr > s.t) & (saveat_arr <= t_new) & upd
-        ys_new = jax.tree_util.tree_map(
-            lambda yi, yo: jnp.where(
-                hit.reshape((n_save,) + (1,) * (yo.ndim - 1)), yi, yo
-            ),
-            y_interp,
-            s.ys,
-        )
+
+        def do_interp(ys):
+            def interp_at(ts_save):
+                theta = jnp.clip((ts_save - s.t) / dt_c, 0.0, 1.0)
+                return tsit5_interpolate(s.u, dt_c, res.ks, theta)
+
+            y_interp = jax.vmap(interp_at)(saveat_arr)
+            return jax.tree_util.tree_map(
+                lambda yi, yo: jnp.where(
+                    hit.reshape((n_save,) + (1,) * (yo.ndim - 1)), yi, yo
+                ),
+                y_interp,
+                ys,
+            )
+
+        ys_new = lax.cond(hit.any(), do_interp, lambda ys: ys, s.ys)
 
         # --- reservoir sample of accepted step-start points ---
         if use_reservoir:

@@ -105,3 +105,33 @@ def test_batchnorm_train_updates_running_stats():
     np.testing.assert_allclose(
         np.asarray(st3["mean"]), np.asarray(st2["mean"])
     )
+
+
+def test_tdchain_conv_split_matches_concat():
+    """The concat-free conv fast path must equal the generic ones·t concat
+    exactly (linearity of convolution; common.py _apply_time_dependent)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from localregneuralde_tpu.models.common import TDChain
+    from localregneuralde_tpu.nn import BatchNorm, Chain, Conv
+    from localregneuralde_tpu.core.containers import ArrayAndTime
+
+    td = TDChain(
+        Chain(Conv((3, 3), 5, 8, use_bias=False), BatchNorm(8, "gelu")),
+        Conv((3, 3), 9, 4, "tanh"),
+    )
+    ps, st = td.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 6, 4))
+    t = jnp.asarray(0.37)
+    y_fast, st_fast = td(ps, st, ArrayAndTime(x, t), training=True)
+
+    # generic path: apply each layer on the explicit concat
+    arr = x
+    for name, layer in td.layers.items():
+        tc = jnp.full(arr.shape[:-1] + (1,), t, arr.dtype)
+        arr, _ = layer(ps[name], st[name], jnp.concatenate([arr, tc], -1),
+                       training=True)
+    np.testing.assert_allclose(
+        np.asarray(y_fast.array), np.asarray(arr), rtol=1e-5, atol=1e-6
+    )
