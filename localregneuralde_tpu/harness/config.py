@@ -150,6 +150,11 @@ def _parse_value(raw: str) -> Any:
     low = raw.lower()
     if low in ("true", "false"):
         return low == "true"
+    # list values: --model.image_size=[8,8] or 8,8
+    stripped = raw.strip()
+    if stripped.startswith("[") and stripped.endswith("]"):
+        inner = stripped[1:-1].strip()
+        return [_parse_value(v.strip()) for v in inner.split(",")] if inner else []
     try:
         return int(raw)
     except ValueError:

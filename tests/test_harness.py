@@ -267,3 +267,12 @@ def test_solver_config_dispatches_multistep(monkeypatch):
     cfg.model.solver.ode_solver = "nope"
     with pytest.raises(ValueError):
         construct_model(cfg)
+
+
+def test_config_list_override():
+    cfg = define_configuration(["--model.image_size=[8,8]"], None)
+    assert cfg.model.image_size == [8, 8]
+    cfg2 = define_configuration(
+        ["--optimizer.scheduler.step_lr_steps=[100,200,300]"], None
+    )
+    assert cfg2.optimizer.scheduler.step_lr_steps == [100, 200, 300]
