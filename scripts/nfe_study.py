@@ -114,9 +114,14 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     out_path = sys.argv[2] if len(sys.argv) > 2 else "nfe_study.json"
     results = []
+    # w_reg=30 const is the headline arm: robust across seeds (round-2
+    # finding: w_reg=100 const is bimodal — regularization-induced training
+    # oscillations make its outcome a coin flip over fp-noise realizations;
+    # 38–272 final NFE across seeds with verified-correct gradients).
     for reg, w0, w1 in [
         ("none", 0.0, 0.0),
         ("unbiased", 2.5, 1.0),
+        ("unbiased", 30.0, 30.0),
         ("unbiased", 100.0, 100.0),
     ]:
         print(f"=== {reg} w_reg={w0}→{w1} ===", flush=True)
