@@ -16,7 +16,7 @@ from nfe_study import run  # noqa: E402
 
 steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
 out = []
-for reg, w in (("none", 0.0), ("unbiased", 100.0), ("biased", 100.0)):
+for reg, w in (("none", 0.0), ("unbiased", 30.0), ("biased", 30.0)):
     print(f"=== {reg} w={w} ===", flush=True)
     r = run(reg, w, w, steps)
     out.append(
