@@ -20,8 +20,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-N_TRIALS = 3
-N_ITERS = 20
+N_TRIALS = 5
+N_ITERS = 30
 
 
 def main():

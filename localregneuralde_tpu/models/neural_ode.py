@@ -215,6 +215,25 @@ class NeuralODE(Module):
 
         return step
 
+    def _step_vjp(self):
+        """Direct hand-fused backward for the stored-adjoint sweep (skips
+        jax.vjp's dead primal recompute per step)."""
+        if not self.use_pallas:
+            return None
+        from ..ops.pallas.fused_mlp_bwd import fused_step_bwd
+
+        prec = self.mm_precision
+
+        def step_vjp(p, u, t, dt, k1, d_unew, d_ks):
+            zero = jnp.zeros_like(u)
+            cts = (d_unew, zero) + tuple(d_ks) + (zero,)  # utilde, g6 cts = 0
+            d_pm, d_u, _dt, _ddt, d_k1 = fused_step_bwd(
+                p["model"], u, t, dt, k1, cts, prec
+            )
+            return {"model": d_pm}, d_u, d_k1
+
+        return step_vjp
+
     def _solve_main(self, f, x, params, model_state, *, saveat, adjoint,
                     reservoir_key=None):
         """Main solve, dispatching on the configured solver. The reg step is
@@ -227,6 +246,7 @@ class NeuralODE(Module):
                 checkpoint_every=self.checkpoint_every,
                 adjoint=adjoint, stateful=True, f_state=model_state,
                 reservoir_key=reservoir_key, step_fn=self._step_fn(),
+                step_vjp=self._step_vjp(),
             )
         from ..ode.multistep import adams_solve
 

@@ -128,6 +128,7 @@ def odesolve(
     f_state: Any = None,
     reservoir_key: Optional[jnp.ndarray] = None,
     step_fn: Optional[Callable] = None,
+    step_vjp: Optional[Callable] = None,
     record_knots: bool = False,
     knot_stride: int = 1,
     knot_window: Optional[int] = None,
@@ -158,7 +159,7 @@ def odesolve(
             f, u0, tspan, p, rtol=rtol, atol=atol, saveat=saveat,
             max_steps=max_steps, stateful=stateful, f_state=f_state,
             reservoir_key=reservoir_key, step_fn=step_fn,
-            knot_window=knot_window,
+            step_vjp=step_vjp, knot_window=knot_window,
         )
     if adjoint == "interpolating":
         from .interp_adjoint import interpolating_odesolve

@@ -78,6 +78,7 @@ def stored_odesolve(
     f_state: Any = None,
     reservoir_key=None,
     step_fn=None,
+    step_vjp=None,
     knot_window: Optional[int] = None,
 ) -> ODESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
@@ -118,6 +119,16 @@ def stored_odesolve(
         (whose registered custom VJP is the fused backward kernel)."""
         res = raw_step(p_, u, t, dt, k1)
         return res.u_new, tuple(res.ks[1:])
+
+    def step_transpose(p_, u, t, dt, k1, d_unew, d_ks):
+        """Cotangents of one step: (d_p, d_u, d_k1). With ``step_vjp`` the
+        caller supplies the hand-fused backward directly — avoiding
+        jax.vjp's dead primal recompute of the step per sweep iteration."""
+        if step_vjp is not None:
+            return step_vjp(p_, u, t, dt, k1, d_unew, d_ks)
+        _, vjp = jax.vjp(step_out, p_, u, t, dt, k1)
+        d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
+        return d_p, d_u, d_k1
 
     def run_solve(u0_, p_, saveat_):
         # THE forward solve: differentiable outputs and fenced auxiliaries
@@ -189,8 +200,9 @@ def stored_odesolve(
                     k_ct(1), k_ct(2), k_ct(3), k_ct(4), k_ct(5),
                     k_ct(6) + a_k,  # k7 feeds the next step's k1 (FSAL)
                 )
-                _, vjp = jax.vjp(step_out, p, u, t, dt, k1)
-                d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
+                d_p, d_u, d_k1 = step_transpose(
+                    p, u, t, dt, k1, d_unew, d_ks
+                )
                 d_p_flat, _ = ravel_pytree(d_p)
                 return (
                     j - 1,
