@@ -61,17 +61,22 @@ class ODESolution:
     reservoir_t: jnp.ndarray
     reservoir_u: Any
     f_state: Any
-    # dense forward storage for the interpolating adjoint (None unless
-    # record_knots=True): knot i = (t_i, u_i, k1_i) at accepted step starts
-    # plus the final state. With knot_stride=W > 1 only every W-th accepted
-    # step is stored (a checkpoint), together with the controller state
-    # (dt of the next attempt, qold) needed to deterministically replay the
-    # window from that point (two-level stored adjoint).
+    # dense forward storage for the stored/interpolating adjoints (None
+    # unless record_knots=True): knot i = (t_i, u_i, k1_i) at accepted step
+    # starts plus the final state. Dense capacity is min(max_steps,
+    # knot_dense_cap); with knot_stride=W > 1 every W-th accepted state is
+    # ADDITIONALLY stored as a checkpoint together with the controller
+    # state (dt of the next attempt, qold) needed to deterministically
+    # replay a window — the stored adjoint picks dense sweep vs windowed
+    # replay per solve based on naccept (hybrid two-level scheme).
     knot_ts: Any = None
     knot_us: Any = None
     knot_ks: Any = None
-    knot_dts: Any = None
-    knot_qolds: Any = None
+    ckpt_ts: Any = None
+    ckpt_us: Any = None
+    ckpt_ks: Any = None
+    ckpt_dts: Any = None
+    ckpt_qolds: Any = None
 
 
 @pytree_dataclass
@@ -93,8 +98,11 @@ class _LoopState:
     knot_ts: Any
     knot_us: Any
     knot_ks: Any
-    knot_dts: Any
-    knot_qolds: Any
+    ckpt_ts: Any
+    ckpt_us: Any
+    ckpt_ks: Any
+    ckpt_dts: Any
+    ckpt_qolds: Any
 
 
 def _tree_where(pred, a, b):
@@ -131,6 +139,7 @@ def odesolve(
     step_vjp: Optional[Callable] = None,
     record_knots: bool = False,
     knot_stride: int = 1,
+    knot_dense_cap: Optional[int] = None,
     knot_window: Optional[int] = None,
 ) -> ODESolution:
     """Integrate ``du/dt = f(u, t, p)`` over ``tspan`` with adaptive Tsit5.
@@ -216,22 +225,29 @@ def odesolve(
 
     stride = max(1, int(knot_stride))
     if record_knots:
-        n_knots = max_steps // stride + 1
-        knot_ts0 = jnp.full((n_knots,), t_end, dtype).at[0].set(t0)
-        knot_us0 = jnp.zeros((n_knots,) + u0.shape, u0.dtype).at[0].set(u0)
-        knot_ks0 = jnp.zeros((n_knots,) + u0.shape, u0.dtype).at[0].set(k1_0)
+        dense_cap = max_steps if knot_dense_cap is None else min(
+            max_steps, int(knot_dense_cap)
+        )
+        n_dense = dense_cap + 1
+        knot_ts0 = jnp.full((n_dense,), t_end, dtype).at[0].set(t0)
+        knot_us0 = jnp.zeros((n_dense,) + u0.shape, u0.dtype).at[0].set(u0)
+        knot_ks0 = jnp.zeros((n_dense,) + u0.shape, u0.dtype).at[0].set(k1_0)
         if stride > 1:
-            # controller state at each checkpoint: dt of the next attempt
-            # and qold — what a window replay needs to reproduce the exact
-            # accept/reject sequence.
-            knot_dts0 = jnp.zeros((n_knots,), dtype).at[0].set(dt_init)
-            knot_qolds0 = jnp.full(
-                (n_knots,), controller.qoldinit, dtype
-            )
+            # checkpoints: every stride-th accepted state + the controller
+            # state (dt of the next attempt, qold) a window replay needs to
+            # reproduce the exact accept/reject sequence.
+            n_ckpt = max_steps // stride + 1
+            ckpt_ts0 = jnp.full((n_ckpt,), t_end, dtype).at[0].set(t0)
+            ckpt_us0 = jnp.zeros((n_ckpt,) + u0.shape, u0.dtype).at[0].set(u0)
+            ckpt_ks0 = jnp.zeros((n_ckpt,) + u0.shape, u0.dtype).at[0].set(k1_0)
+            ckpt_dts0 = jnp.zeros((n_ckpt,), dtype).at[0].set(dt_init)
+            ckpt_qolds0 = jnp.full((n_ckpt,), controller.qoldinit, dtype)
         else:
-            knot_dts0 = knot_qolds0 = None
+            ckpt_ts0 = ckpt_us0 = ckpt_ks0 = None
+            ckpt_dts0 = ckpt_qolds0 = None
     else:
-        knot_ts0 = knot_us0 = knot_ks0 = knot_dts0 = knot_qolds0 = None
+        knot_ts0 = knot_us0 = knot_ks0 = None
+        ckpt_ts0 = ckpt_us0 = ckpt_ks0 = ckpt_dts0 = ckpt_qolds0 = None
 
     state0 = _LoopState(
         t=t0,
@@ -251,8 +267,11 @@ def odesolve(
         knot_ts=knot_ts0,
         knot_us=knot_us0,
         knot_ks=knot_ks0,
-        knot_dts=knot_dts0,
-        knot_qolds=knot_qolds0,
+        ckpt_ts=ckpt_ts0,
+        ckpt_us=ckpt_us0,
+        ckpt_ks=ckpt_ks0,
+        ckpt_dts=ckpt_dts0,
+        ckpt_qolds=ckpt_qolds0,
     )
 
     def step_fn(s: _LoopState) -> _LoopState:
@@ -316,32 +335,47 @@ def odesolve(
         k1_next = _tree_where(upd, res.ks[6], s.k1)
         if record_knots:
             # knot index for this accepted step's END point; on reject/done
-            # (or off-stride counts) rewrite the slot with its own value
-            # (in-place slice update — no full-buffer copy inside the loop)
+            # rewrite the slot with its own value (in-place slice update —
+            # no full-buffer copy inside the loop). Writes beyond the dense
+            # capacity are dropped (mode='drop').
             cnt = s.naccept + 1
-            ki = cnt // stride
-            rec = upd & (cnt % stride == 0) if stride > 1 else upd
-            knot_ts_n = s.knot_ts.at[ki].set(
-                jnp.where(rec, t_new, s.knot_ts[ki])
+            knot_ts_n = s.knot_ts.at[cnt].set(
+                jnp.where(upd, t_new, s.knot_ts.at[cnt].get(mode="clip")),
+                mode="drop",
             )
-            knot_us_n = s.knot_us.at[ki].set(
-                jnp.where(rec, res.u_new, s.knot_us[ki])
+            knot_us_n = s.knot_us.at[cnt].set(
+                jnp.where(upd, res.u_new, s.knot_us.at[cnt].get(mode="clip")),
+                mode="drop",
             )
-            knot_ks_n = s.knot_ks.at[ki].set(
-                jnp.where(rec, res.ks[6], s.knot_ks[ki])
+            knot_ks_n = s.knot_ks.at[cnt].set(
+                jnp.where(upd, res.ks[6], s.knot_ks.at[cnt].get(mode="clip")),
+                mode="drop",
             )
             if stride > 1:
-                knot_dts_n = s.knot_dts.at[ki].set(
-                    jnp.where(rec, dt_acc, s.knot_dts[ki])
+                ci = cnt // stride
+                rec_c = upd & (cnt % stride == 0)
+                ckpt_ts_n = s.ckpt_ts.at[ci].set(
+                    jnp.where(rec_c, t_new, s.ckpt_ts[ci])
                 )
-                knot_qolds_n = s.knot_qolds.at[ki].set(
-                    jnp.where(rec, qold_acc, s.knot_qolds[ki])
+                ckpt_us_n = s.ckpt_us.at[ci].set(
+                    jnp.where(rec_c, res.u_new, s.ckpt_us[ci])
+                )
+                ckpt_ks_n = s.ckpt_ks.at[ci].set(
+                    jnp.where(rec_c, res.ks[6], s.ckpt_ks[ci])
+                )
+                ckpt_dts_n = s.ckpt_dts.at[ci].set(
+                    jnp.where(rec_c, dt_acc, s.ckpt_dts[ci])
+                )
+                ckpt_qolds_n = s.ckpt_qolds.at[ci].set(
+                    jnp.where(rec_c, qold_acc, s.ckpt_qolds[ci])
                 )
             else:
-                knot_dts_n = knot_qolds_n = None
+                ckpt_ts_n = ckpt_us_n = ckpt_ks_n = None
+                ckpt_dts_n = ckpt_qolds_n = None
         else:
             knot_ts_n = knot_us_n = knot_ks_n = None
-            knot_dts_n = knot_qolds_n = None
+            ckpt_ts_n = ckpt_us_n = ckpt_ks_n = None
+            ckpt_dts_n = ckpt_qolds_n = None
         f_st_next = _tree_where(upd, res.f_state, s.f_st)
         t_next = jnp.where(upd, t_new, s.t)
         dt_next = jnp.where(
@@ -367,8 +401,11 @@ def odesolve(
             knot_ts=knot_ts_n,
             knot_us=knot_us_n,
             knot_ks=knot_ks_n,
-            knot_dts=knot_dts_n,
-            knot_qolds=knot_qolds_n,
+            ckpt_ts=ckpt_ts_n,
+            ckpt_us=ckpt_us_n,
+            ckpt_ks=ckpt_ks_n,
+            ckpt_dts=ckpt_dts_n,
+            ckpt_qolds=ckpt_qolds_n,
         )
 
     if adjoint == "none":
@@ -424,6 +461,9 @@ def odesolve(
         knot_ts=final.knot_ts,
         knot_us=final.knot_us,
         knot_ks=final.knot_ks,
-        knot_dts=final.knot_dts,
-        knot_qolds=final.knot_qolds,
+        ckpt_ts=final.ckpt_ts,
+        ckpt_us=final.ckpt_us,
+        ckpt_ks=final.ckpt_ks,
+        ckpt_dts=final.ckpt_dts,
+        ckpt_qolds=final.ckpt_qolds,
     )

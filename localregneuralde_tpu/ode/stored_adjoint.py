@@ -18,16 +18,17 @@ entirely:
   cotangents are injected at the steps whose interval contains each output
   time, exactly mirroring the forward interpolation.
 
-**Two-level windowing for large capacity** (``max_steps > 512`` or explicit
-``knot_window``): instead of O(max_steps) knot buffers, the forward records
-only every W-th accepted state as a *checkpoint* — together with the
-controller state ``(dt_next, qold)`` needed to resume stepping — and the
-backward replays one W-step window at a time (deterministic accept/reject
-replay, identical floating-point sequence) before reverse-sweeping it.
-Memory drops to O(max_steps/W + W) ≈ O(2·√max_steps) states at
-W = ⌈√max_steps⌉, making reference-scale ``maxiters = 10_000``
-(``/root/reference/experiments/src/construct.jl:196``) feasible at MNIST
-batch sizes; compute is one extra forward integration total.
+**Hybrid windowing for large capacity** (``max_steps > knot_window``,
+default 512): the forward records dense knots for the first ``knot_window``
+accepted steps AND every-W-th *checkpoint* beyond (with the controller
+state ``(dt_next, qold)`` needed to resume stepping), W = ⌈√max_steps⌉.
+The backward picks per solve (``lax.cond`` on ``naccept``): short solves —
+the common case — sweep the dense knots directly with NO replay; long
+solves replay one W-step window at a time (deterministic accept/reject
+replay) before reverse-sweeping it. Memory is
+O(knot_window + max_steps/W + W) states, making reference-scale
+``maxiters = 10_000`` (``construct.jl:196``) feasible at MNIST batch sizes
+while keeping the sub-512-step fast path replay-free.
 
 Rejected attempts contribute nothing to gradients (their outputs are
 discarded by the forward masking), so skipping them is exact. dt/controller
@@ -88,13 +89,16 @@ def stored_odesolve(
         saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, jnp.float32))
 
     if knot_window is None:
-        # auto: dense knots for small capacity; √N windows beyond it
-        knot_window = (
-            max_steps if max_steps <= 512
-            else max(16, int(math.ceil(math.sqrt(float(max_steps)))))
-        )
-    two_level = knot_window < max_steps
-    stride = knot_window if two_level else 1
+        knot_window = 512
+    # hybrid scheme: dense knots up to `knot_window` accepted steps (no
+    # replay needed — the common case), plus √N-strided checkpoints beyond
+    # (windowed replay for long solves). The backward picks per solve.
+    dense_cap = min(max_steps, int(knot_window))
+    two_level = dense_cap < max_steps
+    stride = (
+        max(16, int(math.ceil(math.sqrt(float(max_steps)))))
+        if two_level else 1
+    )
     controller = PIController()
 
     fn = f
@@ -135,9 +139,9 @@ def stored_odesolve(
         # (stats, reservoir, threaded f_state, knots) from one integration.
         return odesolve(
             f, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
-            record_knots=True, knot_stride=stride, step_fn=step_fn,
-            stateful=stateful, f_state=f_state, reservoir_key=reservoir_key,
-            **solve_kwargs,
+            record_knots=True, knot_stride=stride, knot_dense_cap=dense_cap,
+            step_fn=step_fn, stateful=stateful, f_state=f_state,
+            reservoir_key=reservoir_key, **solve_kwargs,
         )
 
     def outputs(sol):
@@ -155,13 +159,14 @@ def stored_odesolve(
         sol = run_solve(u0, p, saveat_arr)
         res = (
             u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_ks,
-            sol.knot_dts, sol.knot_qolds, sol.naccept,
+            sol.ckpt_ts, sol.ckpt_us, sol.ckpt_ks,
+            sol.ckpt_dts, sol.ckpt_qolds, sol.naccept,
         )
         return outputs(sol), res
 
     def core_bwd(res, cts):
-        (u0, p, saveat_arr, knot_ts, knot_us, knot_ks, knot_dts,
-         knot_qolds, naccept) = res
+        (u0, p, saveat_arr, knot_ts, knot_us, knot_ks, ckpt_ts, ckpt_us,
+         ckpt_ks, ckpt_dts, ckpt_qolds, naccept) = res
         # aux outputs (stats/reservoir/f_state) are gradient-fenced: only the
         # ys / y_final cotangents propagate.
         ct_ys, ct_y = cts[0], cts[1]
@@ -215,11 +220,15 @@ def stored_odesolve(
 
         a0 = (ct_y, jnp.zeros_like(u0), jnp.zeros_like(p_flat))
 
-        if not two_level:
+        def dense_sweep(a0):
             body = make_sweep_body(knot_ts, knot_us, knot_ks)
             _, a_u, a_k, a_p = lax.while_loop(
                 lambda c: c[0] >= 0, body, (naccept - 1,) + a0
             )
+            return a_u, a_k, a_p
+
+        if not two_level:
+            a_u, a_k, a_p = dense_sweep(a0)
         else:
             W = stride
 
@@ -229,13 +238,13 @@ def stored_odesolve(
                 Identical arithmetic to the forward loop ⇒ identical
                 accept/reject and dt sequence (same ops, same order)."""
                 l_ts0 = jnp.full((W + 1,), t_end_arr, tdtype).at[0].set(
-                    knot_ts[w]
+                    ckpt_ts[w]
                 )
                 l_us0 = jnp.zeros((W + 1,) + u0.shape, u0.dtype).at[0].set(
-                    knot_us[w]
+                    ckpt_us[w]
                 )
                 l_ks0 = jnp.zeros((W + 1,) + u0.shape, u0.dtype).at[0].set(
-                    knot_ks[w]
+                    ckpt_ks[w]
                 )
 
                 def rcond(c):
@@ -278,8 +287,8 @@ def stored_odesolve(
 
                 init = (
                     jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-                    knot_ts[w], knot_us[w], knot_ks[w],
-                    knot_dts[w], knot_qolds[w],
+                    ckpt_ts[w], ckpt_us[w], ckpt_ks[w],
+                    ckpt_dts[w], ckpt_qolds[w],
                     l_ts0, l_us0, l_ks0,
                 )
                 out = lax.while_loop(rcond, rbody, init)
@@ -296,9 +305,17 @@ def stored_odesolve(
                 )
                 return (w - 1, a_u, a_k, a_p)
 
-            w_start = jnp.maximum((naccept - 1) // W, 0)
-            _, a_u, a_k, a_p = lax.while_loop(
-                lambda c: c[0] >= 0, outer_body, (w_start,) + a0
+            def windowed_sweep(a0):
+                w_start = jnp.maximum((naccept - 1) // W, 0)
+                _, a_u, a_k, a_p = lax.while_loop(
+                    lambda c: c[0] >= 0, outer_body, (w_start,) + a0
+                )
+                return a_u, a_k, a_p
+
+            # hybrid: when the whole solve fits in the dense knot region
+            # (the common case), sweep it directly — no replay forward.
+            a_u, a_k, a_p = lax.cond(
+                naccept <= dense_cap, dense_sweep, windowed_sweep, a0
             )
 
         # close the FSAL chain: k1_0 = f(u0, t0, p)
