@@ -76,11 +76,6 @@ class NeuralODE(Module):
                 "solver must be 'tsit5', 'vcab3' or 'vcabm3' "
                 "(reference construct.jl:154-164)"
             )
-        if solver != "tsit5" and regularize == "biased":
-            raise ValueError(
-                "biased regularization requires the tsit5 main solver "
-                "(reservoir sampling is not implemented for multistep)"
-            )
         self.model = model
         self.tspan = (float(tspan[0]), float(tspan[1]))
         self.regularize = regularize
@@ -260,6 +255,7 @@ class NeuralODE(Module):
             max_steps=self.max_steps,
             checkpoint_every=max(self.checkpoint_every, 1),
             adjoint=adams_adjoint, stateful=True, f_state=model_state,
+            reservoir_key=reservoir_key,
         )
 
     def apply(self, params, state, x, *, training: bool = False):

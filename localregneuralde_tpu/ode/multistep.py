@@ -8,8 +8,10 @@ the Newton interpolating polynomial of the last three derivative values on
 their (non-uniform) time grid; VCABM3 adds an Adams–Moulton corrector and a
 Milne-style error estimate (corrector − predictor).
 
-Structure: the same bounded masked loop as ``odesolve``; startup uses Tsit5
-steps (inside ``lax.cond``) until two derivative history entries exist.
+Structure: the same bounded masked loop as ``odesolve`` — including
+in-loop reservoir sampling of accepted step-start points for the biased
+regularization mode; startup uses Tsit5 steps (inside ``lax.cond``) until
+two derivative history entries exist.
 Dense output on ``saveat`` uses the derivative polynomial (documented: the
 reference delegates VCABM interpolation to OrdinaryDiffEq; this matches its
 order). NFE: 2 init + 6 per RK startup attempt + 1 (AB) or 2 (ABM) per
@@ -41,6 +43,9 @@ class _AdamsState:
     naccept: jnp.ndarray
     nreject: jnp.ndarray
     ys: Any
+    res_t: Any
+    res_u: Any
+    key: jnp.ndarray
     # derivative history: f at the 3 most recent accepted points (newest 0)
     f_hist: Any          # (3, *u.shape)
     t_hist: jnp.ndarray  # (3,)
@@ -97,6 +102,7 @@ def adams_solve(
     controller: Optional[PIController] = None,
     stateful: bool = False,
     f_state: Any = None,
+    reservoir_key: Optional[jnp.ndarray] = None,
 ) -> ODESolution:
     """Integrate with VCAB3 (``moulton=False``) or VCABM3 (``moulton=True``)."""
     if controller is None:
@@ -125,6 +131,9 @@ def adams_solve(
     f_hist0 = jnp.stack([k1_0, k1_0, k1_0])
     t_hist0 = jnp.stack([t0v, t0v - 1.0, t0v - 2.0])
 
+    use_reservoir = reservoir_key is not None
+    key0 = reservoir_key if use_reservoir else jax.random.PRNGKey(0)
+
     s0 = _AdamsState(
         t=t0v, dt=dt_init, u=u0,
         qold=jnp.asarray(controller.qoldinit, dtype),
@@ -132,7 +141,11 @@ def adams_solve(
         nfe=jnp.asarray(1 + extra, jnp.int32),
         naccept=jnp.asarray(0, jnp.int32),
         nreject=jnp.asarray(0, jnp.int32),
-        ys=ys0, f_hist=f_hist0, t_hist=t_hist0,
+        ys=ys0,
+        res_t=t0v if use_reservoir else None,
+        res_u=u0 if use_reservoir else None,
+        key=key0,
+        f_hist=f_hist0, t_hist=t_hist0,
         hist_count=jnp.asarray(1, jnp.int32),
         f_st=f_st0,
     )
@@ -202,6 +215,20 @@ def adams_solve(
             hit.reshape((n_save,) + (1,) * s.u.ndim), y_interp, s.ys
         )
 
+        # reservoir sample of accepted step-start points (biased reg mode)
+        if use_reservoir:
+            key_next, sub = jax.random.split(s.key)
+            cnt = s.naccept + 1
+            take = (
+                jax.random.uniform(sub, (), dtype) * cnt.astype(dtype) < 1.0
+            ) & upd
+            res_t_new = jnp.where(take, s.t, s.res_t)
+            res_u_new = jnp.where(take, s.u, s.res_u)
+        else:
+            key_next = s.key
+            res_t_new = None
+            res_u_new = None
+
         f_hist_new = jnp.where(
             upd,
             jnp.stack([f_new, s.f_hist[0], s.f_hist[1]]),
@@ -223,6 +250,9 @@ def adams_solve(
             naccept=s.naccept + upd.astype(jnp.int32),
             nreject=s.nreject + (~accept & ~s.done).astype(jnp.int32),
             ys=ys_new,
+            res_t=res_t_new,
+            res_u=res_u_new,
+            key=key_next,
             f_hist=f_hist_new,
             t_hist=t_hist_new,
             hist_count=jnp.minimum(s.hist_count + upd.astype(jnp.int32), 3),
@@ -259,6 +289,7 @@ def adams_solve(
         ts=saveat_arr, ys=final.ys, t_final=final.t, y_final=final.u,
         nfe=final.nfe, naccept=final.naccept, nreject=final.nreject,
         success=final.done,
-        reservoir_t=final.t, reservoir_u=final.u,
+        reservoir_t=final.res_t if use_reservoir else final.t,
+        reservoir_u=final.res_u if use_reservoir else final.u,
         f_state=final.f_st,
     )

@@ -74,8 +74,42 @@ def test_neural_ode_with_adams_solver(solver):
     assert np.isfinite(leaves).all() and (leaves != 0).any()
 
 
-def test_biased_with_adams_rejected():
-    with pytest.raises(ValueError):
-        NeuralODE(
-            Chain(Dense(2, 2)), regularize="biased", solver="vcab3"
+def test_biased_with_adams_accepted():
+    # biased + multistep is supported since reservoir sampling rides the
+    # Adams loop (round 2); construction must NOT raise
+    NeuralODE(Chain(Dense(2, 2)), regularize="biased", solver="vcab3")
+
+
+def test_biased_regularization_with_multistep():
+    """Reservoir sampling now rides the Adams loop too: biased mode works
+    with vcab3/vcabm3 main solvers (the reg step stays Tsit5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from localregneuralde_tpu.models import NeuralODE, TDChain, diffeqsol_to_array
+    from localregneuralde_tpu.nn import Dense
+
+    F, H, B = 8, 6, 4
+    dyn = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    for solver in ("vcab3", "vcabm3"):
+        node = NeuralODE(
+            dyn, regularize="biased", solver=solver,
+            rtol=1e-3, atol=1e-5, max_steps=64, checkpoint_every=8,
         )
+        ps, st = node.init(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, F))
+
+        def loss(ps, x):
+            sol, st_ = node(ps, st, x, training=True)
+            return jnp.sum(diffeqsol_to_array(sol)) + st_["reg_val"], st_
+
+        (val, st_), gp = jax.jit(
+            jax.value_and_grad(loss, has_aux=True)
+        )(ps, x)
+        assert np.isfinite(float(val))
+        assert float(st_["reg_val"]) > 0.0
+        # reservoir t1 is a step-START point strictly inside [t0, t_end)
+        leaves = np.concatenate(
+            [np.ravel(np.asarray(l)) for l in jax.tree_util.tree_leaves(gp)]
+        )
+        assert np.isfinite(leaves).all() and (leaves != 0).any()
