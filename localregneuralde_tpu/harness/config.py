@@ -38,6 +38,13 @@ class ModelConfig:
     in_channels: int = 3
     num_classes: int = 10
     sde: bool = False
+    # SDE solver family for the NeuralDSDE layer: sosri (default; derived
+    # stability-optimized tableau) | sri (classical SRIW1) | milstein |
+    # euler_heun. Non-diagonal (matrix) diffusion: set sde_noise_dims = m
+    # (requires sde_solver: milstein; the diffusion net then emits d·m
+    # features viewed as the noise-rate matrix).
+    sde_solver: str = "sosri"
+    sde_noise_dims: int = 0
     solver: SolverConfig = field(default_factory=SolverConfig)
     # mlp
     mlp_hidden_state_size: int = 100

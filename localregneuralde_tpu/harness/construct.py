@@ -118,8 +118,9 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
     m = cfg.model
     s = m.solver
     insize = m.image_size[0] * m.image_size[1] * m.in_channels
+    noise_dims = m.sde_noise_dims or None
     drift = Chain(Dense(32, 64, "tanh"), Dense(64, 32))
-    diffusion = Dense(32, 32)
+    diffusion = Dense(32, 32 * (noise_dims or 1))
     return Chain(
         flatten=Flatten(),
         downsample=Dense(insize, 32),
@@ -133,6 +134,8 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
             regularize=m.regularize,
             adjoint=s.adjoint,
             precision=s.precision,
+            solver=m.sde_solver,
+            noise_dims=noise_dims,
         ),
         sol_to_arr=WrappedFunction(diffeqsol_to_array),
         classifier=Dense(32, m.num_classes),

@@ -249,25 +249,33 @@ def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg):
     loader = make_dataloader(
         (x_test, y_test), cfg.dataset.eval_batchsize, drop_last=True
     )
-    totals: dict = {}
+    # accumulate per-batch metrics ON DEVICE; one host sync at the end
+    # (same hygiene as the train loop — per-batch float() costs ~35 ms each
+    # through the TPU relay)
+    device_rows = []
     count = 0
     for xb, yb in loader:
-        loss, stats = eval_step(ts, (jnp.asarray(xb), jnp.asarray(yb)), w_reg)
-        acc1, acc5 = accuracy(stats["y_pred"], jnp.asarray(yb), (1, 5))
+        yb_dev = jnp.asarray(yb)
+        loss, stats = eval_step(ts, (jnp.asarray(xb), yb_dev), w_reg)
+        acc1, acc5 = accuracy(stats["y_pred"], yb_dev, (1, 5))
         bs = xb.shape[0]
         count += bs
-        vals = {
-            "ce_loss": float(stats["ce_loss"]),
-            "reg_val": float(stats["reg_val"]),
-            "net_loss": float(loss),
-            "accuracy_top1": float(acc1),
-            "accuracy_top5": float(acc5),
+        row = {
+            "ce_loss": stats["ce_loss"],
+            "reg_val": stats["reg_val"],
+            "net_loss": loss,
+            "accuracy_top1": acc1,
+            "accuracy_top5": acc5,
         }
         if cfg.model.sde:
-            vals["nfe_drift"] = float(stats["nfe"][0])
-            vals["nfe_diffusion"] = float(stats["nfe"][1])
+            row["nfe_drift"] = stats["nfe"][0]
+            row["nfe_diffusion"] = stats["nfe"][1]
         else:
-            vals["nfe"] = float(stats["nfe"])
-        for k, v in vals.items():
-            totals[k] = totals.get(k, 0.0) + v * bs
+            row["nfe"] = stats["nfe"]
+        device_rows.append((bs, row))
+    totals: dict = {}
+    rows = jax.device_get(device_rows)  # the single host sync
+    for bs, row in rows:
+        for k, v in row.items():
+            totals[k] = totals.get(k, 0.0) + float(v) * bs
     return {k: v / count for k, v in totals.items()}

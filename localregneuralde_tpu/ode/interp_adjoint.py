@@ -11,7 +11,11 @@ TPU-native realization (``odesolve(..., adjoint='interpolating')``):
 - forward: the early-exit ``while_loop`` integrator, additionally recording
   ``(t, u, k1)`` at every accepted step into static ``max_steps`` buffers
   (memory: 2 × max_steps × state — the analog of OrdinaryDiffEq's dense
-  solution storage);
+  solution storage. NOTE: unlike the 'stored' adjoint this has no windowed
+  variant — the backward interpolates at arbitrary times, so at
+  ``max_steps = 10_000`` the buffers are only feasible for small states
+  like the latent-ODE family; use 'stored' for large-state tight-capacity
+  configs);
 - ``u(t)`` on the backward pass: cubic Hermite over the recorded knots
   (values + FSAL derivatives), located by a vectorized ``searchsorted``
   over the (padded) knot times — 3rd-order dense output, tolerance-

@@ -216,3 +216,29 @@ def test_neural_dsde_nondiag_stored_matches_direct():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
         )
+
+
+def test_nondiagonal_reachable_from_config():
+    """model.sde_noise_dims + sde_solver plumb through the harness to a
+    matrix-diffusion NeuralDSDE."""
+    import localregneuralde_tpu.harness.construct as C
+    from localregneuralde_tpu.harness import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.model.model_type = "mlp"
+    cfg.model.sde = True
+    cfg.model.sde_solver = "milstein"
+    cfg.model.sde_noise_dims = 3
+    cfg.model.image_size = [8, 8]
+    cfg.model.in_channels = 1
+    cfg.model.solver.abstol = 1e-1
+    cfg.model.solver.reltol = 1e-1
+    cfg.model.solver.max_steps = 128
+    model = C.construct_model(cfg)
+    node = model.layers["neural_dsde"]
+    assert node.solver == "milstein" and node.noise_dims == 3
+    ps, st = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 8, 1))
+    y, st_ = model(ps, st, x, training=True)
+    assert np.isfinite(np.asarray(y)).all()
+    assert int(st_["neural_dsde"]["nfe_diffusion"]) > 0
