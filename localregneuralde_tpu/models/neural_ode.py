@@ -223,7 +223,7 @@ class NeuralODE(Module):
             zero = jnp.zeros_like(u)
             cts = (d_unew, zero) + tuple(d_ks) + (zero,)  # utilde, g6 cts = 0
             d_pm, d_u, _dt, _ddt, d_k1 = fused_step_bwd(
-                p["model"], u, t, dt, k1, cts, prec
+                p["model"], u, t, dt, k1, cts, prec, grad_precision=None
             )
             return {"model": d_pm}, d_u, d_k1
 

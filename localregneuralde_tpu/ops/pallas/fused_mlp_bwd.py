@@ -51,7 +51,7 @@ _BTILDE = (T.btilde1, T.btilde2, T.btilde3, T.btilde4, T.btilde5, T.btilde6,
            T.btilde7)
 
 
-def _bwd_kernel(precision, sc_ref, u_ref, k1_ref,
+def _bwd_kernel(precision, grad_precision, sc_ref, u_ref, k1_ref,
                 w1_ref, b1_ref, w1t_ref, w2_ref, b2_ref, w2t_ref,
                 d_unew_ref, d_utilde_ref, d_k2_ref, d_k3_ref, d_k4_ref,
                 d_k5_ref, d_k6_ref, d_k7_ref, d_g6_ref,
@@ -127,16 +127,18 @@ def _bwd_kernel(precision, sc_ref, u_ref, k1_ref,
         h = hs[i]
         x = xs[i]
         s = ss[i]
-        dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32, precision=precision)
+        dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32, precision=grad_precision)
         dz = dh * (1.0 - h * h)
-        dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32, precision=precision)
+        dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32, precision=grad_precision)
         dw1_acc = dw1_acc + jnp.dot(
-            x.T, dz, preferred_element_type=jnp.float32, precision=precision
+            x.T, dz, preferred_element_type=jnp.float32,
+            precision=grad_precision,
         )
         db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
         dw1t_acc = dw1t_acc + s * jnp.sum(dz, axis=0, keepdims=True)
         dw2_acc = dw2_acc + jnp.dot(
-            h.T, dk, preferred_element_type=jnp.float32, precision=precision
+            h.T, dk, preferred_element_type=jnp.float32,
+            precision=grad_precision,
         )
         db2_acc = db2_acc + jnp.sum(dk, axis=0, keepdims=True)
         dw2t_acc = dw2t_acc + s * jnp.sum(dk, axis=0, keepdims=True)
@@ -169,9 +171,16 @@ def _bwd_kernel(precision, sc_ref, u_ref, k1_ref,
     dw2t_ref[:] += dw2t_acc
 
 
-def fused_step_bwd(params, u, t, dt, k1, cts, precision=None):
+def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
+                   grad_precision="match"):
     """Run the fused backward kernel; returns (d_params, d_u, 0, 0, d_k1)
-    in the TDChain param structure."""
+    in the TDChain param structure.
+
+    ``precision`` governs the forward-recompute dots (stage values must
+    match the forward trajectory at tight tolerances); ``grad_precision``
+    governs the cotangent-chain and weight-gradient dots — gradients
+    tolerate ~1e-3 relative noise, so 'match' (= precision) is the safe
+    default and None (backend-fast) is a measured speed lever."""
     from .fused_mlp import _pick_tile, _split_params
 
     w1, b1, w1t, w2, b2, w2t = _split_params(params)
@@ -190,8 +199,10 @@ def fused_step_bwd(params, u, t, dt, k1, cts, precision=None):
     vspec = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    if grad_precision == "match":
+        grad_precision = precision
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, precision),
+        functools.partial(_bwd_kernel, precision, grad_precision),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [tile(), tile()]
