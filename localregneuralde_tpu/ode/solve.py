@@ -25,7 +25,6 @@ automatic initial-dt heuristic, dense-output interpolation for ``saveat``,
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Optional
 
 import jax

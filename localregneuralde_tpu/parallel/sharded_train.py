@@ -17,7 +17,6 @@ stay bitwise-identical across devices under GSPMD (one global scalar).
 from __future__ import annotations
 
 import re
-from functools import partial
 from typing import Callable, Dict, Optional
 
 import jax
