@@ -70,3 +70,55 @@ def test_initial_step_size_scales_with_dynamics_speed():
     )
     assert float(dt_slow) > float(dt_fast)
     assert nfe == 2
+
+
+def test_step_counts_comparable_to_independent_adaptive_solver():
+    """Cross-check accepted-step counts against scipy's RK45 — an
+    INDEPENDENT adaptive implementation (Dormand–Prince 5(4), its own PI
+    controller) — at matched tolerances. Both are 5th-order embedded pairs,
+    so accepted-step counts should agree to within a small factor; this
+    guards against a pathologically loose or tight controller (SURVEY §7
+    hard-part 2: NFE comparability)."""
+    import numpy as np
+    from scipy.integrate import solve_ivp
+
+    import jax
+    import jax.numpy as jnp
+    from localregneuralde_tpu.ode import odesolve
+
+    problems = {
+        # smooth nonlinear
+        "tanh": (
+            lambda u, t, p: jnp.tanh(p @ u) - 0.5 * u,
+            lambda t, u, A: np.tanh(A @ u) - 0.5 * u,
+        ),
+        # mildly stiff linear
+        "linear": (
+            lambda u, t, p: p @ u,
+            lambda t, u, A: A @ u,
+        ),
+    }
+    rng = np.random.RandomState(0)
+    A = (rng.randn(6, 6) * 0.8).astype(np.float32)
+    A = A - 1.5 * np.eye(6, dtype=np.float32)
+    u0 = rng.randn(6).astype(np.float32)
+
+    for name, (f_jax, f_np) in problems.items():
+        for rtol in (1e-4, 1e-6):
+            sol = odesolve(
+                f_jax, jnp.asarray(u0), (0.0, 2.0), jnp.asarray(A),
+                rtol=rtol, atol=rtol * 1e-2, max_steps=4096, adjoint="none",
+            )
+            ours = int(sol.naccept)
+            ref = solve_ivp(
+                f_np, (0.0, 2.0), u0.astype(np.float64), args=(A,),
+                method="RK45", rtol=rtol, atol=rtol * 1e-2,
+            )
+            theirs = len(ref.t) - 1
+            ratio = ours / max(theirs, 1)
+            assert 0.4 <= ratio <= 2.5, (name, rtol, ours, theirs)
+            # and the trajectories agree at tolerance scale
+            np.testing.assert_allclose(
+                np.asarray(sol.y_final), ref.y[:, -1],
+                rtol=max(50 * rtol, 1e-5), atol=1e-4,
+            )
