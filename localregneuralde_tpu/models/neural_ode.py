@@ -62,6 +62,7 @@ class NeuralODE(Module):
         adjoint: str = "stored",
         solver: str = "tsit5",
         use_pallas: bool = False,
+        use_persistent: bool = True,
         precision: str = "auto",
         compute_dtype: Optional[str] = None,
     ):
@@ -88,6 +89,7 @@ class NeuralODE(Module):
         self.adjoint = adjoint
         self.solver = solver
         self.use_pallas = use_pallas
+        self.use_persistent = use_persistent
         # MXU input precision for all dynamics-path matmuls: at tight
         # tolerances TPU DEFAULT (one bf16 pass) floods the embedded error
         # estimate with rounding noise and the solver can never accept a
@@ -229,6 +231,68 @@ class NeuralODE(Module):
 
         return step_vjp
 
+    def _persistent_fn(self):
+        """Whole-solve persistent Pallas kernel (fused_solve.py): used for
+        non-differentiated solves of the fused TD-MLP family — inference
+        and the fenced primal of the stored adjoint. Declines (returns
+        None) when the VMEM plan doesn't fit, falling back to the XLA
+        loop."""
+        if not (self.use_pallas and self.use_persistent):
+            return None
+        from ..ode.solve import ODESolution
+        from ..ops.pallas.fused_solve import persistent_tsit5_solve
+
+        prec = self.mm_precision
+
+        def pf(u0, tspan, p, *, saveat_arr, rtol, atol, max_steps,
+               record_knots, knot_dense_cap, reservoir_key, dt0, f_state):
+            out = persistent_tsit5_solve(
+                p["model"], u0, tspan, rtol=rtol, atol=atol,
+                saveat_arr=saveat_arr, max_steps=max_steps,
+                record_knots=record_knots, knot_dense_cap=knot_dense_cap,
+                reservoir_key=reservoir_key, precision=prec, dt0=dt0,
+            )
+            if out is None:
+                return None
+            # the fused family is stateless: threading f_state through the
+            # trajectory is the identity
+            return ODESolution(
+                ts=saveat_arr, ys=out["ys"], t_final=out["t_final"],
+                y_final=out["y_final"], nfe=out["nfe"],
+                naccept=out["naccept"], nreject=out["nreject"],
+                success=out["success"], reservoir_t=out["reservoir_t"],
+                reservoir_u=out["reservoir_u"], f_state=f_state,
+                knot_ts=out["knot_ts"], knot_us=out["knot_us"],
+                knot_ks=out["knot_ks"],
+            )
+
+        return pf
+
+    def _sweep_fn(self):
+        """Whole-sweep persistent backward kernel (fused_solve_bwd.py) for
+        the stored adjoint's dense regime. Declines (None) when the VMEM
+        plan doesn't fit or n_save is large."""
+        if not (self.use_pallas and self.use_persistent):
+            return None
+        from jax.flatten_util import ravel_pytree
+
+        from ..ops.pallas.fused_solve_bwd import persistent_stored_sweep
+
+        prec = self.mm_precision
+
+        def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y):
+            res = persistent_stored_sweep(
+                p["model"], knot_ts, knot_us, naccept, saveat_arr, ct_ys,
+                ct_y, precision=prec, grad_precision=None,
+            )
+            if res is None:
+                return None
+            a_u, a_k, d_pm = res
+            a_p, _ = ravel_pytree({"model": d_pm})
+            return a_u, a_k, a_p
+
+        return sweep
+
     def _solve_main(self, f, x, params, model_state, *, saveat, adjoint,
                     reservoir_key=None):
         """Main solve, dispatching on the configured solver. The reg step is
@@ -242,6 +306,8 @@ class NeuralODE(Module):
                 adjoint=adjoint, stateful=True, f_state=model_state,
                 reservoir_key=reservoir_key, step_fn=self._step_fn(),
                 step_vjp=self._step_vjp(),
+                persistent_fn=self._persistent_fn(),
+                sweep_fn=self._sweep_fn(),
             )
         from ..ode.multistep import adams_solve
 

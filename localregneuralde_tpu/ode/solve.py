@@ -140,6 +140,8 @@ def odesolve(
     knot_stride: int = 1,
     knot_dense_cap: Optional[int] = None,
     knot_window: Optional[int] = None,
+    persistent_fn: Optional[Callable] = None,
+    sweep_fn: Optional[Callable] = None,
 ) -> ODESolution:
     """Integrate ``du/dt = f(u, t, p)`` over ``tspan`` with adaptive Tsit5.
 
@@ -159,6 +161,10 @@ def odesolve(
       step_fn: optional replacement for the generic Tsit5 step with the same
         contract (e.g. a fused Pallas kernel, ``ops/pallas/fused_mlp.py``):
         ``step_fn(f, u, t, dt, k1, p, f_state) -> Tsit5StepResult``.
+      persistent_fn: optional whole-solve replacement (the persistent-loop
+        Pallas kernel, ``ops/pallas/fused_solve.py``). Used for
+        non-differentiated solves in the dense-knot regime; may return None
+        to decline (VMEM plan infeasible), falling back to the XLA loop.
     """
     if adjoint == "stored":
         from .stored_adjoint import stored_odesolve
@@ -168,6 +174,7 @@ def odesolve(
             max_steps=max_steps, stateful=stateful, f_state=f_state,
             reservoir_key=reservoir_key, step_fn=step_fn,
             step_vjp=step_vjp, knot_window=knot_window,
+            persistent_fn=persistent_fn, sweep_fn=sweep_fn,
         )
     if adjoint == "interpolating":
         from .interp_adjoint import interpolating_odesolve
@@ -200,6 +207,25 @@ def odesolve(
     else:
         saveat_arr = jnp.atleast_1d(jnp.asarray(saveat, dtype))
     n_save = saveat_arr.shape[0]
+
+    # Persistent-loop Pallas path: the whole adaptive solve in one kernel.
+    # Only for non-differentiated solves (inference / the fenced primal of
+    # the stored adjoint) in the dense-knot regime — windowed replay needs
+    # bitwise-matching re-integration, which a different reduction order
+    # for the error norm cannot guarantee (fused_solve.py docstring).
+    if (
+        persistent_fn is not None
+        and adjoint == "none"
+        and (not record_knots or knot_stride <= 1)
+    ):
+        sol = persistent_fn(
+            u0, tspan, p, saveat_arr=saveat_arr, rtol=rtol, atol=atol,
+            max_steps=max_steps, record_knots=record_knots,
+            knot_dense_cap=knot_dense_cap, reservoir_key=reservoir_key,
+            dt0=dt0, f_state=f_state,
+        )
+        if sol is not None:
+            return sol
 
     k1_0, f_st0 = fn(u0, t0, p, f_state)
     nfe0 = jnp.asarray(1, jnp.int32)

@@ -81,6 +81,8 @@ def stored_odesolve(
     step_fn=None,
     step_vjp=None,
     knot_window: Optional[int] = None,
+    persistent_fn=None,
+    sweep_fn=None,
 ) -> ODESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
     if saveat is None:
@@ -141,7 +143,8 @@ def stored_odesolve(
             f, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
             record_knots=True, knot_stride=stride, knot_dense_cap=dense_cap,
             step_fn=step_fn, stateful=stateful, f_state=f_state,
-            reservoir_key=reservoir_key, **solve_kwargs,
+            reservoir_key=reservoir_key, persistent_fn=persistent_fn,
+            **solve_kwargs,
         )
 
     def outputs(sol):
@@ -227,7 +230,17 @@ def stored_odesolve(
             )
             return a_u, a_k, a_p
 
-        if not two_level:
+        # persistent whole-sweep Pallas kernel (fused_solve_bwd.py): the
+        # dense sweep in one program. May decline (None) on VMEM plan.
+        swept = None
+        if sweep_fn is not None and not two_level:
+            swept = sweep_fn(
+                p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y
+            )
+
+        if swept is not None:
+            a_u, a_k, a_p = swept
+        elif not two_level:
             a_u, a_k, a_p = dense_sweep(a0)
         else:
             W = stride

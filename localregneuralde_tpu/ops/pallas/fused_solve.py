@@ -1,0 +1,466 @@
+"""Persistent-loop Pallas kernel: the ENTIRE adaptive Tsit5 solve in one
+TPU program.
+
+The per-step fused kernel (``fused_mlp.fused_tsit5_step``) already keeps one
+step's 12 matmuls in VMEM, but the surrounding XLA loop still round-trips
+~20 batch-sized tensors through HBM per attempt (stage outputs, commit
+selects, error-norm reads) plus the loop-machinery dispatch — measured at
+~60% of per-attempt cost on the flagship MLP (RESULTS.md round-2 gap). This
+kernel eliminates the carrier traffic entirely:
+
+- **State lives in VMEM across the whole solve**: ``u`` (the ``y_final``
+  output ref doubles as the working buffer), the FSAL derivative ``k1``,
+  and the step candidates ``(u_cand, k7_cand)`` — 4 batch-sized buffers
+  (~6.4 MB at B=512, F=784) resident for the full adaptive loop.
+- **The accept/reject loop is an in-kernel ``lax.while_loop``** carrying
+  only scalars (t, dt, qold, counters); each attempt runs the 6 stages
+  tile-by-tile over the batch and accumulates the shared-batch error norm
+  (one dt, one RMS norm over the whole tensor — the reference semantics,
+  ``src/perform_step.jl:36-37``) without leaving the chip.
+- **Controller math runs in-kernel** (the same ``PIController`` formulas —
+  pure scalar jnp ops compile fine under Mosaic).
+- **Dense output is written speculatively**: the saveat-hit test
+  ``s ∈ (t, t+dt]`` only depends on pre-step scalars, so interpolated
+  outputs are written during the stage pass; a rejected attempt's write is
+  always overwritten later by the accepted step that crosses ``s``
+  (last-write-wins on a mutable ref — the functional XLA loop can't do
+  this). Only if the solve FAILS (max_steps exhausted, success=False) can a
+  rejected attempt's value remain.
+- **Knot recording for the stored adjoint streams to HBM via async DMA**:
+  on accept, the committed ``(u, k1)`` are DMA'd to the knot buffers while
+  the next attempt computes; the copy is awaited at the *next* accept
+  before the buffers are overwritten (single-slot pipelining).
+- **Reservoir sampling** for the biased mode consumes pre-generated
+  uniforms (one per attempt, SMEM) — O(1) memory, distributionally
+  identical to the XLA loop's per-iteration key splits.
+
+Numerical parity with the XLA loop: stage math is identical (same per-row
+matmuls — batch tile size does not change row values), but the error-norm
+REDUCTION ORDER differs (per-tile partial sums vs XLA's tree reduction), so
+accept sequences can diverge by an ulp-level coin flip on rare steps.
+Trajectories agree to solver accuracy; NFE counts agree up to that
+boundary effect. For this reason the stored adjoint only uses this kernel
+in the dense-knot regime (no windowed REPLAY, which would require a
+bitwise-matching second integration).
+
+Reference parity: this module replaces OrdinaryDiffEq's integrator loop
+(SURVEY.md §2d: ``solve(...)`` at ``src/layers/neural_ode.jl:51``) for the
+fused TD-MLP dynamics family; semantics (controller constants, FSAL, NFE
+accounting, saveat handling) match ``ode/solve.py``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...ode.controller import PIController, initial_step_size
+from ...ode.tableaus import Tsit5Tableau as T
+from ...ode.tableaus import tsit5_interp_weights
+from .fused_mlp import _eval_mlp, _split_params
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB/core
+
+
+def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
+          record_knots: bool):
+    """Pick a batch tile size under the VMEM budget, or None if infeasible.
+
+    Resident buffers: u (=y_final out), k1, u_cand, k7_cand, ys (n_save),
+    res_u (reservoir) — each B×F f32 — plus the weights. Per-tile
+    temporaries: ~11 tile×F values (stages, update, utilde) + hidden.
+    """
+    resident = (4 + n_save + (1 if use_reservoir else 0)) * B * F * 4
+    resident += (2 * F * H_pad + 2 * H_pad + 2 * F + 2 * F) * 4
+    for tb in (256, 128, 64, 32, 16, 8):
+        if B % tb:
+            continue
+        temps = 11 * tb * F * 4 + 3 * tb * H_pad * 4
+        if resident + temps <= _VMEM_BUDGET:
+            return tb, resident + temps
+    return None, None
+
+
+def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
+                 n_dense, use_reservoir):
+    """Build the persistent-solve kernel body for a static configuration."""
+    record_knots = n_dense > 0
+    n_tiles = B // tb
+    ctrl = PIController()
+    inv_n = 1.0 / float(B * F)
+
+    def kernel(*refs):
+        it = iter(refs)
+        sc_ref = next(it)            # SMEM (3,): t0, t_end, dt0
+        saveat_ref = next(it)        # SMEM (n_save,)
+        rand_ref = next(it) if use_reservoir else None  # SMEM (max_steps,)
+        u0_ref = next(it)            # VMEM (B, F)
+        k10_ref = next(it)           # VMEM (B, F)
+        w1_ref = next(it)
+        b1_ref = next(it)
+        w1t_ref = next(it)
+        w2_ref = next(it)
+        b2_ref = next(it)
+        w2t_ref = next(it)
+        # outputs
+        u_ref = next(it)             # VMEM (B, F): working u == y_final
+        ys_ref = next(it)            # VMEM (n_save, B, F)
+        stats_i_ref = next(it)       # SMEM (4,) i32: naccept nreject done natt
+        stats_f_ref = next(it)       # SMEM (2,) f32: t_final, res_t
+        res_u_ref = next(it) if use_reservoir else None
+        if record_knots:
+            # knot buffers are 2-D (n_dense·B, F) — Mosaic requires DMA
+            # slices to be tile-aligned in the last two dims, so slot i is
+            # the row block [i·B, (i+1)·B) (B is sublane-aligned; F rides
+            # whole). The wrapper reshapes to (n_dense, B, F).
+            knot_ts_ref = next(it)   # SMEM (n_dense,)
+            knot_us_ref = next(it)   # ANY/HBM (n_dense·B, F)
+            knot_ks_ref = next(it)   # ANY/HBM (n_dense·B, F)
+        # scratch
+        k1_ref = next(it)            # VMEM (B, F)
+        cand_u_ref = next(it)        # VMEM (B, F)
+        cand_k7_ref = next(it)       # VMEM (B, F)
+        sems = next(it) if record_knots else None  # DMA sems (2,)
+
+        t0 = sc_ref[0]
+        t_end = sc_ref[1]
+        dt0 = sc_ref[2]
+        w = (w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:], b2_ref[:],
+             w2t_ref[:])
+
+        def f(x, s):
+            return _eval_mlp(x, s, *w, precision)
+
+        # ---- init
+        u_ref[:] = u0_ref[:]
+        k1_ref[:] = k10_ref[:]
+        for s_idx in range(n_save):
+            ys_ref[s_idx] = u0_ref[:]
+        if use_reservoir:
+            res_u_ref[:] = u0_ref[:]
+        if record_knots:
+            def init_ts(i, c):
+                knot_ts_ref[i] = t_end
+                return c
+
+            lax.fori_loop(1, n_dense, init_ts, 0)
+            knot_ts_ref[0] = t0
+
+            def knot_dma(vm_ref, hbm_ref, slot, sem):
+                off = pl.multiple_of(slot * B, B)
+                return pltpu.make_async_copy(
+                    vm_ref, hbm_ref.at[pl.ds(off, B), :], sem
+                )
+
+            # knot slot 0 = (t0, u0, k1_0); left in flight — first accept
+            # (or kernel end) waits on it before overwriting u/k1.
+            knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).start()
+            knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).start()
+
+        def attempt(carry):
+            t, dt, qold, done, natt, nacc, nrej, res_t = carry
+            t_rem = t_end - t
+            dt_c = jnp.minimum(dt, t_rem)
+            is_last = dt >= t_rem
+            t_new = jnp.where(is_last, t_end, t + dt_c)
+
+            # saveat hits are knowable pre-step (scalars only)
+            hits = [
+                (saveat_ref[i] > t) & (saveat_ref[i] <= t_new)
+                for i in range(n_save)
+            ]
+
+            def tile_pass(i, err_acc):
+                off = i * tb
+                u = u_ref[pl.ds(off, tb), :]
+                k1 = k1_ref[pl.ds(off, tb), :]
+                k2 = f(u + dt_c * (T.a21 * k1), t + T.c1 * dt_c)
+                k3 = f(u + dt_c * (T.a31 * k1 + T.a32 * k2), t + T.c2 * dt_c)
+                k4 = f(
+                    u + dt_c * (T.a41 * k1 + T.a42 * k2 + T.a43 * k3),
+                    t + T.c3 * dt_c,
+                )
+                k5 = f(
+                    u + dt_c * (
+                        T.a51 * k1 + T.a52 * k2 + T.a53 * k3 + T.a54 * k4
+                    ),
+                    t + T.c4 * dt_c,
+                )
+                g6 = u + dt_c * (
+                    T.a61 * k1 + T.a62 * k2 + T.a63 * k3 + T.a64 * k4
+                    + T.a65 * k5
+                )
+                k6 = f(g6, t + dt_c)
+                u_new = u + dt_c * (
+                    T.a71 * k1 + T.a72 * k2 + T.a73 * k3 + T.a74 * k4
+                    + T.a75 * k5 + T.a76 * k6
+                )
+                k7 = f(u_new, t + dt_c)
+                utilde = dt_c * (
+                    T.btilde1 * k1 + T.btilde2 * k2 + T.btilde3 * k3
+                    + T.btilde4 * k4 + T.btilde5 * k5 + T.btilde6 * k6
+                    + T.btilde7 * k7
+                )
+                cand_u_ref[pl.ds(off, tb), :] = u_new
+                cand_k7_ref[pl.ds(off, tb), :] = k7
+
+                # speculative dense output (see module docstring for why
+                # last-write-wins makes this exact)
+                ks = (k1, k2, k3, k4, k5, k6, k7)
+                for s_idx in range(n_save):
+                    @pl.when(hits[s_idx])
+                    def _(s_idx=s_idx, ks=ks, u=u):
+                        theta = jnp.clip(
+                            (saveat_ref[s_idx] - t) / dt_c, 0.0, 1.0
+                        )
+                        bs = tsit5_interp_weights(theta)
+                        acc = bs[0] * ks[0]
+                        for b_w, k_v in zip(bs[1:], ks[1:]):
+                            acc = acc + b_w * k_v
+                        ys_ref[s_idx, pl.ds(off, tb), :] = u + dt_c * acc
+
+                res = utilde / (
+                    atol + jnp.maximum(jnp.abs(u), jnp.abs(u_new)) * rtol
+                )
+                return err_acc + jnp.sum(res * res)
+
+            err_sq = lax.fori_loop(0, n_tiles, tile_pass, jnp.float32(0.0))
+            eest = jnp.sqrt(err_sq * inv_n)
+            accept = eest <= 1.0
+            dt_acc, dt_rej, qold_acc = ctrl.propose(eest, dt_c, qold)
+
+            if use_reservoir:
+                cnt = (nacc + 1).astype(jnp.float32)
+                take = accept & (rand_ref[natt] * cnt < 1.0)
+                res_t = jnp.where(take, t, res_t)
+
+                @pl.when(take)
+                def _():
+                    # step-START state: read u before the commit below
+                    res_u_ref[:] = u_ref[:]
+
+            @pl.when(accept)
+            def _():
+                if record_knots:
+                    # previous knot DMA must land before u/k1 change
+                    knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).wait()
+                    knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).wait()
+                u_ref[:] = cand_u_ref[:]
+                k1_ref[:] = cand_k7_ref[:]
+                if record_knots:
+                    cnt_i = nacc + 1
+                    knot_ts_ref[cnt_i] = t_new
+                    knot_dma(u_ref, knot_us_ref, cnt_i, sems.at[0]).start()
+                    knot_dma(k1_ref, knot_ks_ref, cnt_i, sems.at[1]).start()
+
+            t = jnp.where(accept, t_new, t)
+            dt = jnp.where(accept, dt_acc, dt_rej)
+            qold = jnp.where(accept, qold_acc, qold)
+            done = accept & is_last
+            nacc = nacc + accept.astype(jnp.int32)
+            nrej = nrej + (~accept).astype(jnp.int32)
+            return (t, dt, qold, done, natt + 1, nacc, nrej, res_t)
+
+        def cond(carry):
+            _, _, _, done, natt, _, _, _ = carry
+            return jnp.logical_not(done) & (natt < max_steps)
+
+        init = (
+            t0,
+            dt0,
+            jnp.float32(ctrl.qoldinit),
+            t0 >= t_end,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            t0,
+        )
+        t_f, _, _, done, natt, nacc, nrej, res_t = lax.while_loop(
+            cond, attempt, init
+        )
+
+        if record_knots:
+            # the last accept's DMA (or the init DMA) is still in flight
+            knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).wait()
+            knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).wait()
+
+        stats_i_ref[0] = nacc
+        stats_i_ref[1] = nrej
+        stats_i_ref[2] = done.astype(jnp.int32)
+        stats_i_ref[3] = natt
+        stats_f_ref[0] = t_f
+        stats_f_ref[1] = res_t
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(precision, rtol, atol, B, F, H_pad, tb, n_save, max_steps,
+                n_dense, use_reservoir, interpret):
+    record_knots = n_dense > 0
+    kernel = _make_kernel(
+        precision, rtol, atol, B, F, tb, n_save, max_steps, n_dense,
+        use_reservoir,
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
+
+    in_specs = [smem(), smem()]
+    if use_reservoir:
+        in_specs.append(smem())
+    in_specs += [vmem()] * 8  # u0, k1_0, 6 weight operands
+
+    out_specs = [vmem(), vmem(), smem(), smem()]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, F), jnp.float32),
+        jax.ShapeDtypeStruct((n_save, B, F), jnp.float32),
+        jax.ShapeDtypeStruct((4,), jnp.int32),
+        jax.ShapeDtypeStruct((2,), jnp.float32),
+    ]
+    if use_reservoir:
+        out_specs.append(vmem())
+        out_shape.append(jax.ShapeDtypeStruct((B, F), jnp.float32))
+    if record_knots:
+        out_specs += [smem(), any_(), any_()]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_dense,), jnp.float32),
+            jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
+            jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
+        ]
+
+    scratch = [
+        pltpu.VMEM((B, F), jnp.float32),
+        pltpu.VMEM((B, F), jnp.float32),
+        pltpu.VMEM((B, F), jnp.float32),
+    ]
+    if record_knots:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def persistent_tsit5_solve(
+    params,
+    u0: jnp.ndarray,
+    tspan,
+    *,
+    rtol: float,
+    atol: float,
+    saveat_arr: jnp.ndarray,
+    max_steps: int,
+    record_knots: bool = False,
+    knot_dense_cap: Optional[int] = None,
+    reservoir_key: Optional[jnp.ndarray] = None,
+    precision=None,
+    dt0=None,
+):
+    """Run the whole adaptive solve in one Pallas program.
+
+    Returns a dict of raw outputs, or ``None`` when the configuration does
+    not fit the VMEM plan (caller falls back to the XLA loop). The initial
+    derivative and HNW initial-dt heuristic run outside the kernel (2 NFE,
+    once per solve — identical formulas to ``ode/solve.py``).
+    """
+    if u0.ndim != 2 or u0.dtype != jnp.float32:
+        return None
+    B, F = u0.shape
+    w_split = _split_params(params, pad_hidden=True)
+    H_pad = w_split[0].shape[1]
+    n_save = int(saveat_arr.shape[0])
+    use_reservoir = reservoir_key is not None
+    tb, _ = _plan(B, F, H_pad, n_save, use_reservoir, record_knots)
+    if tb is None:
+        return None
+
+    t0 = jnp.asarray(tspan[0], jnp.float32)
+    t_end = jnp.asarray(tspan[1], jnp.float32)
+
+    from .fused_mlp import get_fused_tdmlp
+
+    fused = get_fused_tdmlp(precision)
+
+    def fn(u, t, p, st):
+        return fused(p, u, t), st
+
+    k1_0 = fused(params, u0, t0)
+    nfe0 = jnp.asarray(1, jnp.int32)
+    if dt0 is None:
+        dt_init, extra = initial_step_size(
+            fn, u0, t0, params, None, order=5, rtol=rtol, atol=atol, f0=k1_0
+        )
+        nfe0 = nfe0 + extra
+    else:
+        dt_init = jnp.asarray(dt0, jnp.float32)
+    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+
+    n_dense = 0
+    if record_knots:
+        cap = max_steps if knot_dense_cap is None else min(
+            max_steps, int(knot_dense_cap)
+        )
+        n_dense = cap + 1
+
+    call = _build_call(
+        precision, float(rtol), float(atol), B, F, H_pad, tb, n_save,
+        int(max_steps), n_dense, use_reservoir, _interpret(),
+    )
+
+    sc = jnp.stack([t0, t_end, dt_init.astype(jnp.float32)])
+    args = [sc, jnp.asarray(saveat_arr, jnp.float32)]
+    if use_reservoir:
+        args.append(
+            jax.random.uniform(reservoir_key, (int(max_steps),), jnp.float32)
+        )
+    args += [u0, k1_0, *w_split]
+
+    outs = call(*args)
+    i = 0
+    y_final = outs[i]; i += 1
+    ys = outs[i]; i += 1
+    stats_i = outs[i]; i += 1
+    stats_f = outs[i]; i += 1
+    res_u = None
+    if use_reservoir:
+        res_u = outs[i]; i += 1
+    knot_ts = knot_us = knot_ks = None
+    if record_knots:
+        knot_ts = outs[i]; i += 1
+        knot_us = outs[i].reshape(n_dense, B, F); i += 1
+        knot_ks = outs[i].reshape(n_dense, B, F); i += 1
+
+    return dict(
+        y_final=y_final,
+        ys=ys,
+        naccept=stats_i[0],
+        nreject=stats_i[1],
+        success=stats_i[2].astype(jnp.bool_),
+        nfe=nfe0 + 6 * stats_i[3],
+        t_final=stats_f[0],
+        reservoir_t=stats_f[1] if use_reservoir else None,
+        reservoir_u=res_u,
+        knot_ts=knot_ts,
+        knot_us=knot_us,
+        knot_ks=knot_ks,
+    )

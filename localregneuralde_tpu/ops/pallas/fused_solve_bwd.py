@@ -1,0 +1,340 @@
+"""Persistent-loop Pallas kernel for the stored-adjoint BACKWARD sweep.
+
+The stored adjoint's dense backward (``ode/stored_adjoint.py``) transposes
+one accepted step per iteration of an XLA ``while_loop``: each iteration
+slices a (B, F) knot pair out of HBM, launches the fused per-step backward
+kernel, and accumulates flattened parameter cotangents — ~10 MB of XLA
+carrier traffic per step around a ~45–75 µs kernel. This kernel runs the
+WHOLE sweep in one program:
+
+- the adjoint carries ``a_u`` (state cotangent) and ``a_k`` (FSAL-chain
+  cotangent on the incoming k1) live in VMEM — they are the kernel's
+  output refs, updated in place tile-by-tile;
+- knot states stream in via double-buffered async DMA (one (B, F) block
+  per step); the FSAL derivative ``k1_j`` is RECOMPUTED in-kernel from
+  ``(u_j, t_j)`` instead of staged — same math as the forward's stored
+  value (ulp-level differences only, well inside gradient tolerance),
+  halving the DMA traffic and VMEM staging;
+- weight gradients accumulate in VMEM across all steps and tiles;
+- saveat cotangents are injected at the steps whose interval contains each
+  output time, with the Tsit5 free-interpolant weights — identical math to
+  the XLA sweep (``stored_adjoint.make_sweep_body``). ``ct_ys`` rides in
+  VMEM, so the kernel is gated to small ``n_save`` (the fused TD-MLP
+  family's training configs use 1–2 saveat points).
+
+What stays in XLA (once per solve, not per step): the FSAL-chain closure
+``vjp(f(u0, t0))`` applied to the final ``a_k``, and the pre-t0 saveat
+cotangent passthrough — see ``stored_adjoint.core_bwd``.
+
+Precision policy matches ``fused_mlp_bwd``: forward-recompute dots run at
+``precision`` (stage values must track the forward trajectory at tight
+tolerances); cotangent/weight-grad dots run at ``grad_precision``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...ode.tableaus import Tsit5Tableau as T
+from ...ode.tableaus import tsit5_interp_weights
+from .fused_mlp import _split_params
+from .fused_mlp_bwd import _stage_coeffs, _BTILDE
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+_VMEM_BUDGET = 15 * 1024 * 1024
+_MAX_NSAVE = 2
+
+
+def _plan(B: int, F: int, H_pad: int, n_save: int):
+    resident = (2 + 2 + n_save) * B * F * 4  # a_u, a_k, 2-slot stage, ct_ys
+    resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
+    resident += (F * H_pad + 2 * H_pad + H_pad * F + 2 * F) * 4  # wgrads
+    for tb in (128, 64, 32, 16, 8):
+        if B % tb:
+            continue
+        temps = 20 * tb * F * 4 + 8 * tb * H_pad * 4
+        if resident + temps <= _VMEM_BUDGET:
+            return tb
+    return None
+
+
+def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
+    n_tiles = B // tb
+    coeffs = _stage_coeffs()
+
+    def kernel(sc_ref, knot_ts_ref, saveat_ref, w1_ref, b1_ref, w1t_ref,
+               w2_ref, b2_ref, w2t_ref, ctys_ref, cty_ref,
+               knot_us_ref,
+               au_ref, ak_ref, dw1_ref, db1_ref, dw1t_ref, dw2_ref,
+               db2_ref, dw2t_ref,
+               stage_ref, sems):
+        naccept = sc_ref[0]
+        w1, b1, w1t = w1_ref[:], b1_ref[:], w1t_ref[:]
+        w2, b2, w2t = w2_ref[:], b2_ref[:], w2t_ref[:]
+
+        # ---- init carries and accumulators
+        au_ref[:] = cty_ref[:]
+        ak_ref[:] = jnp.zeros_like(ak_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+
+        def knot_dma(j, slot):
+            return pltpu.make_async_copy(
+                knot_us_ref.at[pl.ds(j * B, B), :],
+                stage_ref.at[pl.ds(slot * B, B), :],
+                sems.at[slot],
+            )
+
+        # warm-up: prefetch the last accepted step's start state
+        j0 = naccept - 1
+
+        @pl.when(j0 >= 0)
+        def _():
+            knot_dma(j0, j0 % 2).start()
+
+        def sweep(j, _):
+            slot = j % 2
+            knot_dma(j, slot).wait()
+
+            @pl.when(j - 1 >= 0)
+            def _():
+                knot_dma(j - 1, 1 - slot).start()
+
+            t = knot_ts_ref[j]
+            tn = knot_ts_ref[j + 1]
+            dt = tn - t
+
+            # saveat-hit interpolation weights (scalars per (stage, save))
+            wt = []  # wt[m][s] = dt·b_m(θ_s)·hit_s
+            hit_f = []
+            for s_idx in range(n_save):
+                s_t = saveat_ref[s_idx]
+                hit = ((s_t > t) & (s_t <= tn)).astype(jnp.float32)
+                theta = jnp.clip((s_t - t) / dt, 0.0, 1.0)
+                bs = tsit5_interp_weights(theta)
+                hit_f.append(hit)
+                wt.append([dt * b * hit for b in bs])
+
+            def tile_pass(i, _):
+                off = i * tb
+                u = stage_ref[pl.ds(slot * B + off, tb), :]
+
+                # ---- forward recompute (k1 from scratch — FSAL value)
+                def f(x, s):
+                    h = jnp.tanh(
+                        jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                                precision=precision) + b1 + s * w1t
+                    )
+                    return (
+                        jnp.dot(h, w2, preferred_element_type=jnp.float32,
+                                precision=precision) + b2 + s * w2t
+                    ), h
+
+                k1, h1 = f(u, t)
+                ks = [k1]
+                xs = [u]
+                hs = [h1]
+                ss = [t]
+                for (a_row, c) in coeffs:
+                    x = u
+                    for a, k in zip(a_row, ks):
+                        x = x + (dt * a) * k
+                    s = t + c * dt
+                    k_new, h = f(x, s)
+                    ks.append(k_new)
+                    xs.append(x)
+                    hs.append(h)
+                    ss.append(s)
+
+                # ---- stage cotangents
+                a_u = au_ref[pl.ds(off, tb), :]
+                a_k = ak_ref[pl.ds(off, tb), :]
+                cts = [
+                    ctys_ref[pl.ds(s_idx * B + off, tb), :]
+                    for s_idx in range(n_save)
+                ]
+
+                def k_ct(m):
+                    acc = jnp.zeros_like(a_u)
+                    for s_idx in range(n_save):
+                        acc = acc + wt[s_idx][m] * cts[s_idx]
+                    return acc
+
+                zero = jnp.zeros_like(a_u)
+                d_ks = [k_ct(m) for m in range(7)]
+                d_ks[6] = d_ks[6] + a_k  # FSAL: k7 feeds next step's k1
+
+                d_u = jnp.zeros_like(a_u)
+                d_x_pending = [zero] * 6
+                d_x_pending[5] = d_x_pending[5] + a_u  # x7 = u_new
+
+                dw1_acc = jnp.zeros_like(w1)
+                db1_acc = jnp.zeros_like(b1)
+                dw1t_acc = jnp.zeros_like(w1t)
+                dw2_acc = jnp.zeros_like(w2)
+                db2_acc = jnp.zeros_like(b2)
+                dw2t_acc = jnp.zeros_like(w2t)
+
+                for i_s in reversed(range(6)):  # evals producing k2..k7
+                    dk = d_ks[i_s + 1]
+                    h = hs[i_s + 1]
+                    x = xs[i_s + 1]
+                    s = ss[i_s + 1]
+                    dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32,
+                                 precision=grad_precision)
+                    dz = dh * (1.0 - h * h)
+                    dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32,
+                                 precision=grad_precision)
+                    dw1_acc = dw1_acc + jnp.dot(
+                        x.T, dz, preferred_element_type=jnp.float32,
+                        precision=grad_precision,
+                    )
+                    db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
+                    dw1t_acc = dw1t_acc + s * jnp.sum(
+                        dz, axis=0, keepdims=True
+                    )
+                    dw2_acc = dw2_acc + jnp.dot(
+                        h.T, dk, preferred_element_type=jnp.float32,
+                        precision=grad_precision,
+                    )
+                    db2_acc = db2_acc + jnp.sum(dk, axis=0, keepdims=True)
+                    dw2t_acc = dw2t_acc + s * jnp.sum(
+                        dk, axis=0, keepdims=True
+                    )
+
+                    dx_total = dx + d_x_pending[i_s]
+                    d_u = d_u + dx_total
+                    a_row = coeffs[i_s][0]
+                    for j_s, a in enumerate(a_row):
+                        d_ks[j_s] = d_ks[j_s] + (dt * a) * dx_total
+
+                # carries: a_u ← d_u + Σ_hit ct ; a_k ← d_k1 + dt·b1(θ)·ct
+                d_u_interp = jnp.zeros_like(a_u)
+                for s_idx in range(n_save):
+                    d_u_interp = d_u_interp + hit_f[s_idx] * cts[s_idx]
+                au_ref[pl.ds(off, tb), :] = d_u + d_u_interp
+                ak_ref[pl.ds(off, tb), :] = d_ks[0]
+
+                dw1_ref[:] += dw1_acc
+                db1_ref[:] += db1_acc
+                dw1t_ref[:] += dw1t_acc
+                dw2_ref[:] += dw2_acc
+                db2_ref[:] += db2_acc
+                dw2t_ref[:] += dw2t_acc
+                return 0
+
+            lax.fori_loop(0, n_tiles, tile_pass, 0)
+            return 0
+
+        # reverse sweep j = naccept-1 .. 0 (fori counts up; map index)
+        def body(i, c):
+            return sweep(naccept - 1 - i, c)
+
+        lax.fori_loop(0, naccept, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
+                n_dense, interpret):
+    kernel = _make_kernel(
+        precision, grad_precision, B, F, tb, n_save, n_dense
+    )
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+
+    return pl.pallas_call(
+        kernel,
+        in_specs=(
+            [smem(), smem(), smem()]
+            + [vmem()] * 6            # weights
+            + [vmem(), vmem()]        # ct_ys (n_save·B, F), ct_y
+            + [pl.BlockSpec(memory_space=pl.ANY)]  # knot_us (n_dense·B, F)
+        ),
+        out_specs=(
+            vmem(), vmem(),
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_u
+            jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_k
+            jax.ShapeDtypeStruct((F, H_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
+            jax.ShapeDtypeStruct((H_pad, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+            jax.ShapeDtypeStruct((1, F), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * B, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET + 1024 * 1024,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )
+
+
+def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
+                            ct_ys, ct_y, precision=None,
+                            grad_precision=None):
+    """Run the whole dense stored-adjoint sweep in one Pallas program.
+
+    Returns ``(a_u, a_k, d_params)`` — the state cotangent at t0+, the
+    FSAL-chain cotangent on k1_0 (the caller closes it through
+    ``vjp(f(u0, t0))``), and the parameter cotangents in the TDChain
+    structure — or ``None`` when the configuration doesn't fit the VMEM
+    plan (caller falls back to the XLA sweep).
+    """
+    B, F = ct_y.shape
+    n_save = int(saveat_arr.shape[0])
+    if n_save > _MAX_NSAVE:
+        return None
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
+    H_pad = w1.shape[1]
+    tb = _plan(B, F, H_pad, n_save)
+    if tb is None:
+        return None
+    n_dense = knot_us.shape[0]
+
+    call = _build_call(
+        precision, grad_precision, B, F, H_pad, tb, n_save, n_dense,
+        _interpret(),
+    )
+    sc = jnp.asarray(naccept, jnp.int32)[None]
+    out = call(
+        sc, jnp.asarray(knot_ts, jnp.float32),
+        jnp.asarray(saveat_arr, jnp.float32),
+        w1, b1, w1t, w2, b2, w2t,
+        ct_ys.reshape(n_save * B, F), ct_y,
+        knot_us.reshape(n_dense * B, F),
+    )
+    a_u, a_k, dw1, db1, dw1t, dw2, db2, dw2t = out
+    H = params["layer_0"]["b"].shape[0]  # unpadded hidden dim
+    d_params = {
+        "layer_0": {
+            "w": jnp.concatenate([dw1[:, :H], dw1t[:, :H]], axis=0),
+            "b": db1[0, :H],
+        },
+        "layer_1": {
+            "w": jnp.concatenate([dw2[:H], dw2t], axis=0),
+            "b": db2[0],
+        },
+    }
+    return a_u, a_k, d_params

@@ -1,0 +1,303 @@
+"""Persistent-loop Pallas solve kernel (interpreter mode on CPU).
+
+Parity target: the XLA adaptive loop (``ode/solve.py``) on the fused
+TD-MLP dynamics family — trajectories, saveat interpolation, NFE stats,
+knot recording, reservoir sampling, and end-to-end stored-adjoint
+gradients through ``NeuralODE(use_pallas=True)``.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from localregneuralde_tpu.core import ArrayAndTime
+from localregneuralde_tpu.models import NeuralODE, TDChain, diffeqsol_to_array
+from localregneuralde_tpu.nn import Chain, Dense, WrappedFunction
+from localregneuralde_tpu.ode.solve import odesolve
+from localregneuralde_tpu.ops.pallas.fused_solve import persistent_tsit5_solve
+
+F, H, B = 32, 16, 8
+RTOL = ATOL = 1e-4
+
+
+def _setup(seed=0):
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    ps, st = td.init(jax.random.PRNGKey(seed))
+    x = 0.5 * jax.random.normal(jax.random.PRNGKey(seed + 1), (B, F))
+    return td, ps, st, x
+
+
+def _xla_solve(td, ps, st, x, **kw):
+    """XLA adaptive loop with the fused PER-STEP kernel: identical stage
+    math to the persistent kernel (the generic jnp step differs at the %
+    level in the cancelling ũ sum, which is rounding noise amplified —
+    not a valid parity reference for the accept sequence)."""
+    from localregneuralde_tpu.ode.step import Tsit5StepResult
+    from localregneuralde_tpu.ops.pallas.fused_mlp import fused_tsit5_step
+
+    def f(u, t, p, s):
+        y, s2 = td(p, s, ArrayAndTime(u, t))
+        return y.array, s2
+
+    def step(fn, u, t, dt, k1, p, f_st):
+        u_new, utilde, k2, k3, k4, k5, k6, k7, g6 = fused_tsit5_step(
+            p, u, t, dt, k1
+        )
+        return Tsit5StepResult(
+            u_new, utilde, (k1, k2, k3, k4, k5, k6, k7), g6, f_st
+        )
+
+    return odesolve(
+        f, x, (0.0, 1.0), ps, rtol=RTOL, atol=ATOL, max_steps=64,
+        adjoint="none", stateful=True, f_state=st, step_fn=step, **kw,
+    )
+
+
+def test_matches_xla_loop_final_state():
+    """Trajectory parity. eest is a CANCELLING sum: when the step error is
+    far below tolerance, ulp-level implementation differences legitimately
+    move dt proposals by ~1%, so step sequences need not be identical —
+    final states must agree to solver accuracy and step counts closely."""
+    td, ps, st, x = _setup()
+    ref = _xla_solve(td, ps, st, x)
+    out = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=jnp.asarray([1.0]), max_steps=64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.y_final), np.asarray(out["y_final"]), atol=2e-4
+    )
+    assert abs(int(out["naccept"]) - int(ref.naccept)) <= 1
+    assert abs(int(out["nfe"]) - int(ref.nfe)) <= 12
+    assert bool(out["success"])
+    np.testing.assert_allclose(
+        float(out["t_final"]), float(ref.t_final), atol=1e-6
+    )
+
+
+def test_saveat_interpolation_unsorted():
+    td, ps, st, x = _setup(seed=3)
+    saveat = jnp.asarray([0.7, 0.1, 1.0, 0.0, 0.35])
+    ref = _xla_solve(td, ps, st, x, saveat=saveat)
+    out = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=saveat, max_steps=64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.ys), np.asarray(out["ys"]), atol=3e-4
+    )
+
+
+def test_knots_reconstruct_their_steps():
+    """THE contract the stored-adjoint backward relies on: consecutive
+    knots (t_i, u_i, k1_i) must exactly describe one accepted step —
+    stepping with the fused per-step kernel from knot i over
+    dt = t_{i+1} − t_i reproduces (u_{i+1}, k1_{i+1})."""
+    from localregneuralde_tpu.ops.pallas.fused_mlp import fused_tsit5_step
+
+    td, ps, st, x = _setup(seed=5)
+    out = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=jnp.asarray([1.0]), max_steps=64, record_knots=True,
+    )
+    n = int(out["naccept"])
+    assert n >= 3
+    ts = np.asarray(out["knot_ts"][: n + 1])
+    assert np.all(np.diff(ts) > 0) and ts[0] == 0.0 and ts[-1] == 1.0
+    np.testing.assert_allclose(
+        np.asarray(out["knot_us"][0]), np.asarray(x), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["knot_us"][n]), np.asarray(out["y_final"]), atol=0
+    )
+    for i in range(n):
+        t_i = out["knot_ts"][i]
+        dt_i = out["knot_ts"][i + 1] - t_i
+        res = fused_tsit5_step(
+            ps, out["knot_us"][i], t_i, dt_i, out["knot_ks"][i]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["knot_us"][i + 1]), np.asarray(res[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["knot_ks"][i + 1]), np.asarray(res[7]), atol=1e-6
+        )
+
+
+def test_reservoir_sample_is_an_accepted_step_start():
+    td, ps, st, x = _setup(seed=7)
+    out = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=jnp.asarray([1.0]), max_steps=64, record_knots=True,
+        reservoir_key=jax.random.PRNGKey(11),
+    )
+    n = int(out["naccept"])
+    ts = np.asarray(out["knot_ts"][:n])  # step-START times (excl. t_end)
+    rt = float(out["reservoir_t"])
+    idx = int(np.argmin(np.abs(ts - rt)))
+    assert abs(ts[idx] - rt) < 1e-6
+    np.testing.assert_allclose(
+        np.asarray(out["knot_us"][idx]),
+        np.asarray(out["reservoir_u"]),
+        atol=1e-6,
+    )
+
+
+def _flagship(use_persistent):
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    node = NeuralODE(
+        td, regularize="unbiased", rtol=RTOL, atol=ATOL, max_steps=64,
+        use_pallas=True, use_persistent=use_persistent,
+    )
+    return Chain(
+        neural_ode=node,
+        sol_to_arr=WrappedFunction(diffeqsol_to_array),
+        classifier=Dense(F, 10),
+    )
+
+
+@pytest.mark.parametrize("regularize", ["unbiased", "biased"])
+def test_neural_ode_persistent_grads_match(regularize):
+    """End-to-end: stored-adjoint training grads with the persistent
+    primal match the per-step-kernel path (identical backward — the
+    persistent kernel only replaces the fenced forward)."""
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (B, F))
+
+    def build(up):
+        node = NeuralODE(
+            td, regularize=regularize, rtol=RTOL, atol=ATOL, max_steps=64,
+            use_pallas=True, use_persistent=up,
+        )
+        return Chain(
+            neural_ode=node,
+            sol_to_arr=WrappedFunction(diffeqsol_to_array),
+            classifier=Dense(F, 10),
+        )
+
+    m_ref = build(False)
+    m_per = build(True)
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+
+    def loss(m):
+        def run(p):
+            y, st_ = m(p, state, x, training=True)
+            return jnp.sum(y**2) + 10.0 * st_["neural_ode"]["reg_val"], st_
+
+        return run
+
+    (l_ref, st_ref), g_ref = jax.value_and_grad(loss(m_ref), has_aux=True)(
+        params
+    )
+    (l_per, st_per), g_per = jax.value_and_grad(loss(m_per), has_aux=True)(
+        params
+    )
+    if regularize == "unbiased":
+        # same t1 (same rng path); trajectories agree to solver accuracy
+        # (step sequences may differ by rounding-noise dt proposals — see
+        # test_matches_xla_loop_final_state)
+        np.testing.assert_allclose(float(l_ref), float(l_per), rtol=1e-3)
+        assert (
+            abs(
+                int(st_ref["neural_ode"]["nfe"])
+                - int(st_per["neural_ode"]["nfe"])
+            )
+            <= 12
+        )
+        r_flat, _ = jax.flatten_util.ravel_pytree(g_ref)
+        p_flat, _ = jax.flatten_util.ravel_pytree(g_per)
+        scale = float(jnp.max(jnp.abs(r_flat)))
+        np.testing.assert_allclose(
+            np.asarray(p_flat), np.asarray(r_flat), atol=2e-3 * scale
+        )
+    else:
+        # biased: reservoir draws differ (different RNG realization), so
+        # only the main-solve quantities match
+        assert bool(st_per["neural_ode"]["success"])
+        flat, _ = jax.flatten_util.ravel_pytree(g_per)
+        assert np.all(np.isfinite(np.asarray(flat)))
+
+
+def test_eval_mode_uses_persistent_and_matches():
+    m_ref = _flagship(False)
+    m_per = _flagship(True)
+    params, state = m_ref.init(jax.random.PRNGKey(0))
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (B, F))
+    y_ref, st_ref = m_ref(params, state, x, training=False)
+    y_per, st_per = m_per(params, state, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(y_ref), np.asarray(y_per), atol=5e-5
+    )
+    assert int(st_ref["neural_ode"]["nfe"]) == int(st_per["neural_ode"]["nfe"])
+
+
+def test_persistent_sweep_matches_xla_sweep():
+    """Stored-adjoint gradients: whole-sweep Pallas kernel vs the XLA
+    while-loop sweep, on IDENTICAL knots (same forward), with saveat
+    cotangents on two output times."""
+    from jax.flatten_util import ravel_pytree
+
+    from localregneuralde_tpu.ode.step import Tsit5StepResult
+    from localregneuralde_tpu.ops.pallas.fused_mlp import fused_tsit5_step
+    from localregneuralde_tpu.ops.pallas.fused_mlp_bwd import fused_step_bwd
+    from localregneuralde_tpu.ops.pallas.fused_solve_bwd import (
+        persistent_stored_sweep,
+    )
+
+    td, ps, st, x = _setup(seed=9)
+    saveat = jnp.asarray([0.37, 1.0])
+
+    def f(u, t, p, s):
+        y, s2 = td(p, s, ArrayAndTime(u, t))
+        return y.array, s2
+
+    def step(fn, u, t, dt, k1, p, f_st):
+        out = fused_tsit5_step(p, u, t, dt, k1)
+        return Tsit5StepResult(
+            out[0], out[1], (k1,) + tuple(out[2:8]), out[8], f_st
+        )
+
+    def step_vjp(p, u, t, dt, k1, d_unew, d_ks):
+        zero = jnp.zeros_like(u)
+        cts = (d_unew, zero) + tuple(d_ks) + (zero,)
+        d_pm, d_u, _dt, _ddt, d_k1 = fused_step_bwd(
+            p, u, t, dt, k1, cts, None, grad_precision=None
+        )
+        return d_pm, d_u, d_k1
+
+    def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y):
+        res = persistent_stored_sweep(
+            p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y
+        )
+        if res is None:
+            return None
+        a_u, a_k, d_pm = res
+        return a_u, a_k, ravel_pytree(d_pm)[0]
+
+    def loss(x_, ps_, use_sweep):
+        sol = odesolve(
+            f, x_, (0.0, 1.0), ps_, rtol=RTOL, atol=ATOL, max_steps=64,
+            adjoint="stored", stateful=True, f_state=st, saveat=saveat,
+            step_fn=step, step_vjp=step_vjp,
+            sweep_fn=sweep if use_sweep else None,
+        )
+        w = 1.0 + jnp.arange(sol.ys.shape[0], dtype=jnp.float32)
+        return jnp.sum(
+            sol.ys * w.reshape(-1, 1, 1) * jnp.sin(sol.ys)
+        ) + 2.0 * jnp.sum(sol.y_final**2)
+
+    gx_r, gp_r = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(
+        x, ps
+    )
+    gx_p, gp_p = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(
+        x, ps
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_p), np.asarray(gx_r), rtol=2e-3, atol=1e-5
+    )
+    r_flat, _ = jax.flatten_util.ravel_pytree(gp_r)
+    p_flat, _ = jax.flatten_util.ravel_pytree(gp_p)
+    scale = float(jnp.max(jnp.abs(r_flat)))
+    np.testing.assert_allclose(
+        np.asarray(p_flat), np.asarray(r_flat), atol=1e-3 * scale
+    )
