@@ -246,6 +246,18 @@ class NeuralODE(Module):
 
         def pf(u0, tspan, p, *, saveat_arr, rtol, atol, max_steps,
                record_knots, knot_dense_cap, reservoir_key, dt0, f_state):
+            if record_knots:
+                # the persistent forward records PADDED knots, which only
+                # the persistent sweep can consume — decline when the
+                # sweep can't run so the XLA loop records unpadded knots
+                # for the XLA fallback sweep
+                from ..ops.pallas.fused_solve_bwd import sweep_feasible
+
+                if not sweep_feasible(
+                    p["model"], u0.shape[0], u0.shape[1],
+                    int(saveat_arr.shape[0]),
+                ):
+                    return None
             out = persistent_tsit5_solve(
                 p["model"], u0, tspan, rtol=rtol, atol=atol,
                 saveat_arr=saveat_arr, max_steps=max_steps,

@@ -69,18 +69,19 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom under the ~16 MB/core
+_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
           record_knots: bool):
     """Pick a batch tile size under the VMEM budget, or None if infeasible.
 
-    Resident buffers: u (=y_final out), k1, u_cand, k7_cand, ys (n_save),
-    res_u (reservoir) — each B×F f32 — plus the weights. Per-tile
-    temporaries: ~11 tile×F values (stages, update, utilde) + hidden.
+    Resident buffers: the u0/k1_0 INPUTS, u (=y_final out), k1, u_cand,
+    k7_cand, ys (n_save), res_u (reservoir) — each B×F f32 — plus the
+    weights. Per-tile temporaries: ~11 tile×F values (stages, update,
+    utilde) + hidden.
     """
-    resident = (4 + n_save + (1 if use_reservoir else 0)) * B * F * 4
+    resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 2 * F + 2 * F) * 4
     for tb in (256, 128, 64, 32, 16, 8):
         if B % tb:
@@ -91,13 +92,48 @@ def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
     return None, None
 
 
-def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
-                 n_dense, use_reservoir):
-    """Build the persistent-solve kernel body for a static configuration."""
+def _pow(x, c):
+    """Scalar x**c via exp/log — Mosaic has no powf legalization.
+    Exact semantics for x ≥ 0 incl. x = 0 (log→-inf, exp→0)."""
+    return jnp.where(
+        x > 0.0, jnp.exp(c * jnp.log(jnp.maximum(x, 1e-38))), 0.0
+    )
+
+
+def _propose(ctrl: PIController, eest, dt, qold):
+    """PIController.propose with pow replaced by exp/log (in-kernel).
+    Same formulas as ode/controller.py:36-58."""
+    finite = jnp.isfinite(eest)
+    eest_safe = jnp.where(finite, jnp.maximum(eest, 0.0), 1.0)
+    q11 = _pow(eest_safe, ctrl.beta1)
+    q = q11 / _pow(qold, ctrl.beta2)
+    q = jnp.maximum(
+        1.0 / ctrl.qmax, jnp.minimum(1.0 / ctrl.qmin, q / ctrl.gamma)
+    )
+    dt_accept = jnp.where(finite, dt / q, dt * 0.5)
+    dt_reject = jnp.where(
+        finite,
+        dt / jnp.minimum(1.0 / ctrl.qmin, q11 / ctrl.gamma),
+        dt * 0.5,
+    )
+    qold_accept = jnp.maximum(eest_safe, jnp.float32(ctrl.qoldinit))
+    return dt_accept, dt_reject, qold_accept
+
+
+def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
+                 max_steps, n_dense, use_reservoir):
+    """Build the persistent-solve kernel body for a static configuration.
+
+    ``F`` is the PADDED feature width (multiple of 128 — Mosaic DMA slices
+    must be lane-aligned); all padding is exact zeros (zero weight rows/
+    cols ⇒ zero stage values ⇒ zero residuals), so the math is bitwise
+    identical to the unpadded program. ``F_logical`` only normalizes the
+    shared-batch error norm.
+    """
     record_knots = n_dense > 0
     n_tiles = B // tb
     ctrl = PIController()
-    inv_n = 1.0 / float(B * F)
+    inv_n = 1.0 / float(B * F_logical)
 
     def kernel(*refs):
         it = iter(refs)
@@ -112,7 +148,10 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
         w2_ref = next(it)
         b2_ref = next(it)
         w2t_ref = next(it)
-        # outputs
+        # outputs. NOTE: input→output aliasing is deliberately NOT used —
+        # on the real-TPU execution path the aliased output buffer does
+        # not observe the input values (measured: a fully-rejected solve
+        # returned y_final ≠ u0), so the working state is explicit-copied.
         u_ref = next(it)             # VMEM (B, F): working u == y_final
         ys_ref = next(it)            # VMEM (n_save, B, F)
         stats_i_ref = next(it)       # SMEM (4,) i32: naccept nreject done natt
@@ -127,7 +166,7 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
             knot_us_ref = next(it)   # ANY/HBM (n_dense·B, F)
             knot_ks_ref = next(it)   # ANY/HBM (n_dense·B, F)
         # scratch
-        k1_ref = next(it)            # VMEM (B, F)
+        k1_ref = next(it)            # VMEM (B, F): working k1 (FSAL)
         cand_u_ref = next(it)        # VMEM (B, F)
         cand_k7_ref = next(it)       # VMEM (B, F)
         sems = next(it) if record_knots else None  # DMA sems (2,)
@@ -135,11 +174,12 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
         t0 = sc_ref[0]
         t_end = sc_ref[1]
         dt0 = sc_ref[2]
-        w = (w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:], b2_ref[:],
-             w2t_ref[:])
 
         def f(x, s):
-            return _eval_mlp(x, s, *w, precision)
+            return _eval_mlp(
+                x, s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
+                b2_ref[:], w2t_ref[:], precision,
+            )
 
         # ---- init
         u_ref[:] = u0_ref[:]
@@ -164,8 +204,8 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
 
             # knot slot 0 = (t0, u0, k1_0); left in flight — first accept
             # (or kernel end) waits on it before overwriting u/k1.
-            knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).start()
-            knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).start()
+            knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).start()
+            knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).start()
 
         def attempt(carry):
             t, dt, qold, done, natt, nacc, nrej, res_t = carry
@@ -237,7 +277,7 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
             err_sq = lax.fori_loop(0, n_tiles, tile_pass, jnp.float32(0.0))
             eest = jnp.sqrt(err_sq * inv_n)
             accept = eest <= 1.0
-            dt_acc, dt_rej, qold_acc = ctrl.propose(eest, dt_c, qold)
+            dt_acc, dt_rej, qold_acc = _propose(ctrl, eest, dt_c, qold)
 
             if use_reservoir:
                 cnt = (nacc + 1).astype(jnp.float32)
@@ -253,8 +293,8 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
             def _():
                 if record_knots:
                     # previous knot DMA must land before u/k1 change
-                    knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).wait()
-                    knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).wait()
+                    knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).wait()
+                    knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
                 u_ref[:] = cand_u_ref[:]
                 k1_ref[:] = cand_k7_ref[:]
                 if record_knots:
@@ -291,8 +331,8 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
 
         if record_knots:
             # the last accept's DMA (or the init DMA) is still in flight
-            knot_dma(u0_ref, knot_us_ref, 0, sems.at[0]).wait()
-            knot_dma(k10_ref, knot_ks_ref, 0, sems.at[1]).wait()
+            knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).wait()
+            knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
 
         stats_i_ref[0] = nacc
         stats_i_ref[1] = nrej
@@ -305,12 +345,12 @@ def _make_kernel(precision, rtol, atol, B, F, tb, n_save, max_steps,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(precision, rtol, atol, B, F, H_pad, tb, n_save, max_steps,
-                n_dense, use_reservoir, interpret):
+def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
+                max_steps, n_dense, use_reservoir, interpret):
     record_knots = n_dense > 0
     kernel = _make_kernel(
-        precision, rtol, atol, B, F, tb, n_save, max_steps, n_dense,
-        use_reservoir,
+        precision, rtol, atol, B, F, F_logical, tb, n_save, max_steps,
+        n_dense, use_reservoir,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -338,7 +378,6 @@ def _build_call(precision, rtol, atol, B, F, H_pad, tb, n_save, max_steps,
             jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
             jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
         ]
-
     scratch = [
         pltpu.VMEM((B, F), jnp.float32),
         pltpu.VMEM((B, F), jnp.float32),
@@ -354,7 +393,7 @@ def _build_call(precision, rtol, atol, B, F, H_pad, tb, n_save, max_steps,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 2 * 1024 * 1024,
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -386,11 +425,15 @@ def persistent_tsit5_solve(
     if u0.ndim != 2 or u0.dtype != jnp.float32:
         return None
     B, F = u0.shape
-    w_split = _split_params(params, pad_hidden=True)
-    H_pad = w_split[0].shape[1]
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
+    H_pad = w1.shape[1]
     n_save = int(saveat_arr.shape[0])
     use_reservoir = reservoir_key is not None
-    tb, _ = _plan(B, F, H_pad, n_save, use_reservoir, record_knots)
+    # pad the feature width to the 128 lane (exact zeros — see kernel
+    # docstring); knot buffers are returned PADDED (the persistent sweep
+    # consumes them as-is; slicing a ~100 MB HBM buffer would be a copy)
+    F_pad = -(-F // 128) * 128
+    tb, _ = _plan(B, F_pad, H_pad, n_save, use_reservoir, record_knots)
     if tb is None:
         return None
 
@@ -423,9 +466,18 @@ def persistent_tsit5_solve(
         n_dense = cap + 1
 
     call = _build_call(
-        precision, float(rtol), float(atol), B, F, H_pad, tb, n_save,
-        int(max_steps), n_dense, use_reservoir, _interpret(),
+        precision, float(rtol), float(atol), B, F_pad, F, H_pad, tb,
+        n_save, int(max_steps), n_dense, use_reservoir, _interpret(),
     )
+
+    if F_pad != F:
+        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
+        u0_in, k1_in = fpad(u0), fpad(k1_0)
+        w1_in = jnp.pad(w1, ((0, F_pad - F), (0, 0)))
+        w2_in, b2_in, w2t_in = fpad(w2), fpad(b2), fpad(w2t)
+    else:
+        u0_in, k1_in = u0, k1_0
+        w1_in, w2_in, b2_in, w2t_in = w1, w2, b2, w2t
 
     sc = jnp.stack([t0, t_end, dt_init.astype(jnp.float32)])
     args = [sc, jnp.asarray(saveat_arr, jnp.float32)]
@@ -433,22 +485,25 @@ def persistent_tsit5_solve(
         args.append(
             jax.random.uniform(reservoir_key, (int(max_steps),), jnp.float32)
         )
-    args += [u0, k1_0, *w_split]
+    args += [u0_in, k1_in, w1_in, b1, w1t, w2_in, b2_in, w2t_in]
 
     outs = call(*args)
     i = 0
-    y_final = outs[i]; i += 1
-    ys = outs[i]; i += 1
+    y_final = outs[i][:, :F]; i += 1
+    ys = outs[i][:, :, :F]; i += 1
     stats_i = outs[i]; i += 1
     stats_f = outs[i]; i += 1
     res_u = None
     if use_reservoir:
-        res_u = outs[i]; i += 1
+        res_u = outs[i][:, :F]; i += 1
     knot_ts = knot_us = knot_ks = None
     if record_knots:
+        # knots stay PADDED (n_dense, B, F_pad) — consumed by the
+        # persistent sweep, never by the XLA fallback (the caller gates
+        # record_knots on sweep feasibility)
         knot_ts = outs[i]; i += 1
-        knot_us = outs[i].reshape(n_dense, B, F); i += 1
-        knot_ks = outs[i].reshape(n_dense, B, F); i += 1
+        knot_us = outs[i].reshape(n_dense, B, F_pad); i += 1
+        knot_ks = outs[i].reshape(n_dense, B, F_pad); i += 1
 
     return dict(
         y_final=y_final,

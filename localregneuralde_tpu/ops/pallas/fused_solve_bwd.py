@@ -50,12 +50,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_BUDGET = 15 * 1024 * 1024
+_VMEM_BUDGET = 24 * 1024 * 1024  # v5e VMEM exceeds the conservative 16 MB
 _MAX_NSAVE = 2
 
 
 def _plan(B: int, F: int, H_pad: int, n_save: int):
-    resident = (2 + 2 + n_save) * B * F * 4  # a_u, a_k, 2-slot stage, ct_ys
+    # residents: ct_y input, a_u, a_k outs, 2-slot knot stage, ct_ys input
+    resident = (3 + 2 + n_save) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
     resident += (F * H_pad + 2 * H_pad + H_pad * F + 2 * F) * 4  # wgrads
     for tb in (128, 64, 32, 16, 8):
@@ -65,6 +66,18 @@ def _plan(B: int, F: int, H_pad: int, n_save: int):
         if resident + temps <= _VMEM_BUDGET:
             return tb
     return None
+
+
+def sweep_feasible(params, B: int, F: int, n_save: int) -> bool:
+    """Whether the persistent sweep kernel can run this configuration —
+    the forward gates its PADDED knot recording on this (the XLA fallback
+    sweep expects unpadded knots)."""
+    if n_save > _MAX_NSAVE:
+        return False
+    H = params["layer_0"]["b"].shape[0]
+    H_pad = -(-H // 128) * 128
+    F_pad = -(-F // 128) * 128
+    return _plan(B, F_pad, H_pad, n_save) is not None
 
 
 def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
@@ -284,7 +297,7 @@ def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 1024 * 1024,
+            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -308,33 +321,50 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
         return None
     w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
     H_pad = w1.shape[1]
-    tb = _plan(B, F, H_pad, n_save)
+    # knots arrive PADDED from the persistent forward (lane-aligned DMA);
+    # unpadded, non-lane-aligned knots (XLA-loop forward) can't be DMA'd
+    # on real TPUs — decline to the XLA sweep (interpret mode is exempt)
+    F_pad = knot_us.shape[-1]
+    if F_pad % 128 != 0 and not _interpret():
+        return None
+    tb = _plan(B, F_pad, H_pad, n_save)
     if tb is None:
         return None
     n_dense = knot_us.shape[0]
 
+    if F_pad != F:
+        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
+        ct_y_in, ct_ys_in = fpad(ct_y), jnp.pad(
+            ct_ys, ((0, 0), (0, 0), (0, F_pad - F))
+        )
+        w1_in = jnp.pad(w1, ((0, F_pad - F), (0, 0)))
+        w2_in, b2_in, w2t_in = fpad(w2), fpad(b2), fpad(w2t)
+    else:
+        ct_y_in, ct_ys_in = ct_y, ct_ys
+        w1_in, w2_in, b2_in, w2t_in = w1, w2, b2, w2t
+
     call = _build_call(
-        precision, grad_precision, B, F, H_pad, tb, n_save, n_dense,
+        precision, grad_precision, B, F_pad, H_pad, tb, n_save, n_dense,
         _interpret(),
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     out = call(
         sc, jnp.asarray(knot_ts, jnp.float32),
         jnp.asarray(saveat_arr, jnp.float32),
-        w1, b1, w1t, w2, b2, w2t,
-        ct_ys.reshape(n_save * B, F), ct_y,
-        knot_us.reshape(n_dense * B, F),
+        w1_in, b1, w1t, w2_in, b2_in, w2t_in,
+        ct_ys_in.reshape(n_save * B, F_pad), ct_y_in,
+        knot_us.reshape(n_dense * B, F_pad),
     )
     a_u, a_k, dw1, db1, dw1t, dw2, db2, dw2t = out
     H = params["layer_0"]["b"].shape[0]  # unpadded hidden dim
     d_params = {
         "layer_0": {
-            "w": jnp.concatenate([dw1[:, :H], dw1t[:, :H]], axis=0),
+            "w": jnp.concatenate([dw1[:F, :H], dw1t[:, :H]], axis=0),
             "b": db1[0, :H],
         },
         "layer_1": {
-            "w": jnp.concatenate([dw2[:H], dw2t], axis=0),
-            "b": db2[0],
+            "w": jnp.concatenate([dw2[:H, :F], dw2t[:, :F]], axis=0),
+            "b": db2[0, :F],
         },
     }
-    return a_u, a_k, d_params
+    return a_u[:, :F], a_k[:, :F], d_params
