@@ -140,7 +140,11 @@ def _split_params(params, pad_hidden: bool = False) -> Tuple[jnp.ndarray, ...]:
 
 def _pick_tile(batch: int, features: int = 784, n_buffers: int = 20) -> int:
     """Largest divisor tile keeping ~n_buffers tile-sized f32 live values
-    (stages + outputs + inputs) under a 10 MB VMEM budget."""
+    (stages + outputs + inputs) under a 10 MB VMEM budget. NOTE: v5e has
+    128 MB physical VMEM, but bigger tiles measured SLOWER for these
+    grid-pipelined kernels (whole-batch tiles lose the HBM/compute
+    overlap of the sequential grid) — 10 MB lands on the measured-best
+    128/64 tiles."""
     budget = 10 * 1024 * 1024
     cap = max(1, budget // (n_buffers * features * 4))
     for tb in (256, 128, 64, 32, 16, 8, 4, 2, 1):

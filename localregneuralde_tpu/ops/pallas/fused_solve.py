@@ -69,7 +69,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_BUDGET = 24 * 1024 * 1024
+# v5e physical VMEM is 128 MB (measured: 120 MB scratch compiles AND runs;
+# the widely-quoted ~16 MB is only Mosaic's default soft limit)
+_VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
@@ -83,8 +85,11 @@ def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
     """
     resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 2 * F + 2 * F) * 4
-    for tb in (256, 128, 64, 32, 16, 8):
-        if B % tb:
+    # tiles are capped at 128: whole-batch tiles fit VMEM but measured ~2×
+    # SLOWER (M=128 already fills the MXU; bigger blocks hurt Mosaic
+    # scheduling granularity) — the large budget is for feasibility only
+    for tb in (128, 64, 32, 16, 8):
+        if tb > B or B % tb:
             continue
         temps = 11 * tb * F * 4 + 3 * tb * H_pad * 4
         if resident + temps <= _VMEM_BUDGET:
@@ -346,7 +351,7 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
-                max_steps, n_dense, use_reservoir, interpret):
+                max_steps, n_dense, use_reservoir, vmem_limit, interpret):
     record_knots = n_dense > 0
     kernel = _make_kernel(
         precision, rtol, atol, B, F, F_logical, tb, n_save, max_steps,
@@ -393,7 +398,10 @@ def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+            # sized to the plan estimate + margin: the limit value feeds
+            # Mosaic's buffering decisions, and an over-large limit
+            # measured ~10% slower end-to-end
+            vmem_limit_bytes=vmem_limit,
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -465,9 +473,11 @@ def persistent_tsit5_solve(
         )
         n_dense = cap + 1
 
+    _, vmem_est = _plan(B, F_pad, H_pad, n_save, use_reservoir, record_knots)
     call = _build_call(
         precision, float(rtol), float(atol), B, F_pad, F, H_pad, tb,
-        n_save, int(max_steps), n_dense, use_reservoir, _interpret(),
+        n_save, int(max_steps), n_dense, use_reservoir,
+        int(vmem_est) + 6 * 1024 * 1024, _interpret(),
     )
 
     if F_pad != F:

@@ -50,7 +50,7 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_BUDGET = 24 * 1024 * 1024  # v5e VMEM exceeds the conservative 16 MB
+_VMEM_BUDGET = 88 * 1024 * 1024  # v5e VMEM is 128 MB physical (measured)
 _MAX_NSAVE = 2
 
 
@@ -59,13 +59,14 @@ def _plan(B: int, F: int, H_pad: int, n_save: int):
     resident = (3 + 2 + n_save) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
     resident += (F * H_pad + 2 * H_pad + H_pad * F + 2 * F) * 4  # wgrads
-    for tb in (128, 64, 32, 16, 8):
-        if B % tb:
+    # capped at 64 — the measured-fastest backward tile (see fused_solve)
+    for tb in (64, 32, 16, 8):
+        if tb > B or B % tb:
             continue
         temps = 20 * tb * F * 4 + 8 * tb * H_pad * 4
         if resident + temps <= _VMEM_BUDGET:
-            return tb
-    return None
+            return tb, resident + temps
+    return None, None
 
 
 def sweep_feasible(params, B: int, F: int, n_save: int) -> bool:
@@ -77,7 +78,7 @@ def sweep_feasible(params, B: int, F: int, n_save: int) -> bool:
     H = params["layer_0"]["b"].shape[0]
     H_pad = -(-H // 128) * 128
     F_pad = -(-F // 128) * 128
-    return _plan(B, F_pad, H_pad, n_save) is not None
+    return _plan(B, F_pad, H_pad, n_save)[0] is not None
 
 
 def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
@@ -263,7 +264,7 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
 
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
-                n_dense, interpret):
+                n_dense, vmem_limit, interpret):
     kernel = _make_kernel(
         precision, grad_precision, B, F, tb, n_save, n_dense
     )
@@ -297,7 +298,9 @@ def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET + 4 * 1024 * 1024,
+            # sized to the plan estimate — see fused_solve on why not the
+            # full physical VMEM
+            vmem_limit_bytes=vmem_limit,
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -327,7 +330,7 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
     F_pad = knot_us.shape[-1]
     if F_pad % 128 != 0 and not _interpret():
         return None
-    tb = _plan(B, F_pad, H_pad, n_save)
+    tb, vmem_est = _plan(B, F_pad, H_pad, n_save)
     if tb is None:
         return None
     n_dense = knot_us.shape[0]
@@ -345,7 +348,7 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
 
     call = _build_call(
         precision, grad_precision, B, F_pad, H_pad, tb, n_save, n_dense,
-        _interpret(),
+        int(vmem_est) + 6 * 1024 * 1024, _interpret(),
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     out = call(
