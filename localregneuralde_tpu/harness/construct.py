@@ -145,6 +145,8 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
 def _construct_cifar10_cnn(cfg: ExperimentConfig):
     """AugmenterLayer 3→8ch → BatchNorm → NeuralODE(TDChain convs) →
     conv classifier (reference ``construct.jl:212-228``; NHWC here)."""
+    import jax
+
     m = cfg.model
     node_core = TDChain(
         Chain(
@@ -155,11 +157,18 @@ def _construct_cifar10_cnn(cfg: ExperimentConfig):
         ),
         Conv((3, 3), 65, 8, use_bias=False),
     )
+    # 'auto' deliberately does NOT enable the fused conv kernels: measured
+    # on v5e they run 3-4x slower than XLA's native conv chain at these
+    # shapes (M=64/K=64 tap matmuls underfill the MXU; see RESULTS.md).
+    # 'on' still forces them (they are correct — parity-tested).
+    use_pallas = m.use_pallas == "on"
     h, w = m.image_size
     return Chain(
         augment=AugmenterLayer(Conv((3, 3), 3, 5), axis=-1),
         bn=BatchNorm(8),
-        neural_ode=NeuralODE(node_core, **_node_kwargs(cfg)),
+        neural_ode=NeuralODE(
+            node_core, use_pallas=use_pallas, **_node_kwargs(cfg)
+        ),
         sol_to_arr=WrappedFunction(diffeqsol_to_array),
         classifier=Chain(
             Conv((3, 3), 8, 1, "gelu"),

@@ -121,20 +121,30 @@ class NeuralODE(Module):
                 "compute_dtype='bfloat16' is not supported by the fused "
                 "Pallas TD-MLP kernels (f32 VMEM pipeline)"
             )
+        self._pallas_family = None
+        self._conv_spec = None
         if use_pallas:
             from ..models.common import TDChain
             from ..nn.basic import Dense
+            from ..ops.pallas.fused_conv import match_conv_family
 
             layers = list(getattr(model, "layers", {}).values())
-            ok = (
+            if (
                 isinstance(model, TDChain)
                 and len(layers) == 2
                 and all(isinstance(l, Dense) for l in layers)
-            )
-            if not ok:
+            ):
+                self._pallas_family = "mlp"
+            else:
+                spec = match_conv_family(model)
+                if spec is not None:
+                    self._pallas_family = "conv"
+                    self._conv_spec = spec
+            if self._pallas_family is None:
                 raise ValueError(
-                    "use_pallas=True requires a TDChain of exactly two Dense "
-                    "layers (the fused TD-MLP kernel family)"
+                    "use_pallas=True requires a TDChain of two Dense layers "
+                    "(fused TD-MLP family) or the conv dynamics family "
+                    "(Conv+BN ×2 → Conv, see ops/pallas/fused_conv.py)"
                 )
 
     def init(self, key):
@@ -151,7 +161,7 @@ class NeuralODE(Module):
 
     # -- dynamics: wrap the inner model as stateful f(u, t, p, st) -> (du, st)
     def _dynamics(self, training: bool):
-        if self.use_pallas:
+        if self.use_pallas and self._pallas_family == "mlp":
             from ..ops.pallas.fused_mlp import get_fused_tdmlp
 
             fused = get_fused_tdmlp(self.mm_precision)
@@ -193,10 +203,26 @@ class NeuralODE(Module):
 
         return f
 
-    def _step_fn(self):
+    def _step_fn(self, training: bool = True):
         """Fused Pallas Tsit5 step (same contract as the generic step)."""
         if not self.use_pallas:
             return None
+        if self._pallas_family == "conv":
+            if not hasattr(self, "_conv_steps"):
+                self._conv_steps = {}
+            if training not in self._conv_steps:
+                from ..ops.pallas.fused_conv import make_fused_conv_step
+
+                base = make_fused_conv_step(
+                    self.model, self._conv_spec, self.mm_precision
+                )
+                self._conv_steps[training] = (
+                    lambda fn, u, t, dt, k1, p, f_st, _b=base,
+                    _tr=training: _b(
+                        fn, u, t, dt, k1, p, f_st, training=_tr
+                    )
+                )
+            return self._conv_steps[training]
         from ..ode.step import Tsit5StepResult
         from ..ops.pallas.fused_mlp import get_fused_tsit5_step
 
@@ -217,6 +243,21 @@ class NeuralODE(Module):
         jax.vjp's dead primal recompute per step)."""
         if not self.use_pallas:
             return None
+        if self._pallas_family == "conv":
+            from ..ops.pallas.fused_conv_bwd import fused_conv_step_bwd
+
+            spec = self._conv_spec
+            prec = self.mm_precision
+
+            def conv_step_vjp(p, u, t, dt, k1, d_unew, d_ks):
+                zero = jnp.zeros_like(u)
+                cts = (d_unew, zero) + tuple(d_ks) + (zero,)
+                d_pm, d_u, d_k1 = fused_conv_step_bwd(
+                    spec, p["model"], u, t, dt, k1, cts, precision=prec
+                )
+                return {"model": d_pm}, d_u, d_k1
+
+            return conv_step_vjp
         from ..ops.pallas.fused_mlp_bwd import fused_step_bwd
 
         prec = self.mm_precision
@@ -237,7 +278,10 @@ class NeuralODE(Module):
         and the fenced primal of the stored adjoint. Declines (returns
         None) when the VMEM plan doesn't fit, falling back to the XLA
         loop."""
-        if not (self.use_pallas and self.use_persistent):
+        if not (
+            self.use_pallas and self.use_persistent
+            and self._pallas_family == "mlp"
+        ):
             return None
         from ..ode.solve import ODESolution
         from ..ops.pallas.fused_solve import persistent_tsit5_solve
@@ -284,7 +328,10 @@ class NeuralODE(Module):
         """Whole-sweep persistent backward kernel (fused_solve_bwd.py) for
         the stored adjoint's dense regime. Declines (None) when the VMEM
         plan doesn't fit or n_save is large."""
-        if not (self.use_pallas and self.use_persistent):
+        if not (
+            self.use_pallas and self.use_persistent
+            and self._pallas_family == "mlp"
+        ):
             return None
         from jax.flatten_util import ravel_pytree
 
@@ -306,7 +353,7 @@ class NeuralODE(Module):
         return sweep
 
     def _solve_main(self, f, x, params, model_state, *, saveat, adjoint,
-                    reservoir_key=None):
+                    reservoir_key=None, training=True):
         """Main solve, dispatching on the configured solver. The reg step is
         always Tsit5 regardless (reference neural_ode.jl:75)."""
         if self.solver == "tsit5":
@@ -316,7 +363,8 @@ class NeuralODE(Module):
                 max_steps=self.max_steps,
                 checkpoint_every=self.checkpoint_every,
                 adjoint=adjoint, stateful=True, f_state=model_state,
-                reservoir_key=reservoir_key, step_fn=self._step_fn(),
+                reservoir_key=reservoir_key,
+                step_fn=self._step_fn(training),
                 step_vjp=self._step_vjp(),
                 persistent_fn=self._persistent_fn(),
                 sweep_fn=self._sweep_fn(),
@@ -346,6 +394,7 @@ class NeuralODE(Module):
             sol = self._solve_main(
                 f, x, params, state["model"], saveat=self.saveat,
                 adjoint=self.adjoint if training else "none",
+                training=training,
             )
             new_state = {
                 "model": sol.f_state,
@@ -374,7 +423,7 @@ class NeuralODE(Module):
             saveat_int = jnp.concatenate([user_saveat, t1[None]])
             sol = self._solve_main(
                 f, x, params, state["model"], saveat=saveat_int,
-                adjoint=self.adjoint,
+                adjoint=self.adjoint, training=True,
             )
             u1 = lax.stop_gradient(sol.ys[-1])
             # strip the injected t1 slot from the user-visible outputs
@@ -382,7 +431,7 @@ class NeuralODE(Module):
         else:  # biased
             sol = self._solve_main(
                 f, x, params, state["model"], saveat=self.saveat,
-                adjoint=self.adjoint, reservoir_key=rkey,
+                adjoint=self.adjoint, reservoir_key=rkey, training=True,
             )
             t1 = sol.reservoir_t
             u1 = lax.stop_gradient(sol.reservoir_u)
@@ -398,7 +447,7 @@ class NeuralODE(Module):
         dt_r = lax.stop_gradient(
             jnp.minimum(dt_r, jnp.asarray(t2, jnp.float32) - t1)
         )
-        custom_step = self._step_fn()
+        custom_step = self._step_fn(True)
         if custom_step is None:
             step = tsit5_step(f, u1, t1, dt_r, k1, params, sol.f_state)
         else:
