@@ -92,8 +92,6 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
                db2_ref, dw2t_ref,
                stage_ref, sems):
         naccept = sc_ref[0]
-        w1, b1, w1t = w1_ref[:], b1_ref[:], w1t_ref[:]
-        w2, b2, w2t = w2_ref[:], b2_ref[:], w2t_ref[:]
 
         # ---- init carries and accumulators
         au_ref[:] = cty_ref[:]
@@ -141,10 +139,15 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
                 bs = tsit5_interp_weights(theta)
                 hit_f.append(hit)
                 wt.append([dt * b * hit for b in bs])
+            any_hit = sum(hit_f) > 0.0
 
             def tile_pass(i, _):
                 off = i * tb
                 u = stage_ref[pl.ds(slot * B + off, tb), :]
+                # weight refs are read per tile iteration (hoisting big
+                # vector values across loop levels is a Mosaic hazard)
+                w1, b1, w1t = w1_ref[:], b1_ref[:], w1t_ref[:]
+                w2, b2, w2t = w2_ref[:], b2_ref[:], w2t_ref[:]
 
                 # ---- forward recompute (k1 from scratch — FSAL value)
                 def f(x, s):
@@ -173,22 +176,36 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
                     hs.append(h)
                     ss.append(s)
 
-                # ---- stage cotangents
+                # ---- stage cotangents. saveat hits are rare (≤ n_save
+                # per SOLVE): the cond skips the ct_ys reads and 8×(tb,F)
+                # weighted sums on the common no-hit step.
                 a_u = au_ref[pl.ds(off, tb), :]
                 a_k = ak_ref[pl.ds(off, tb), :]
-                cts = [
-                    ctys_ref[pl.ds(s_idx * B + off, tb), :]
-                    for s_idx in range(n_save)
-                ]
-
-                def k_ct(m):
-                    acc = jnp.zeros_like(a_u)
-                    for s_idx in range(n_save):
-                        acc = acc + wt[s_idx][m] * cts[s_idx]
-                    return acc
-
                 zero = jnp.zeros_like(a_u)
-                d_ks = [k_ct(m) for m in range(7)]
+
+                def with_hits(_):
+                    cts = [
+                        ctys_ref[pl.ds(s_idx * B + off, tb), :]
+                        for s_idx in range(n_save)
+                    ]
+
+                    def k_ct(m):
+                        acc = jnp.zeros_like(a_u)
+                        for s_idx in range(n_save):
+                            acc = acc + wt[s_idx][m] * cts[s_idx]
+                        return acc
+
+                    d_u_i = jnp.zeros_like(a_u)
+                    for s_idx in range(n_save):
+                        d_u_i = d_u_i + hit_f[s_idx] * cts[s_idx]
+                    return tuple(k_ct(m) for m in range(7)) + (d_u_i,)
+
+                def no_hits(_):
+                    return (zero,) * 8
+
+                hit_vals = lax.cond(any_hit, with_hits, no_hits, 0)
+                d_ks = list(hit_vals[:7])
+                d_u_interp = hit_vals[7]
                 d_ks[6] = d_ks[6] + a_k  # FSAL: k7 feeds next step's k1
 
                 d_u = jnp.zeros_like(a_u)
@@ -236,9 +253,6 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
                         d_ks[j_s] = d_ks[j_s] + (dt * a) * dx_total
 
                 # carries: a_u ← d_u + Σ_hit ct ; a_k ← d_k1 + dt·b1(θ)·ct
-                d_u_interp = jnp.zeros_like(a_u)
-                for s_idx in range(n_save):
-                    d_u_interp = d_u_interp + hit_f[s_idx] * cts[s_idx]
                 au_ref[pl.ds(off, tb), :] = d_u + d_u_interp
                 ak_ref[pl.ds(off, tb), :] = d_ks[0]
 
