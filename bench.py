@@ -20,8 +20,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-N_TRIALS = 5
-N_ITERS = 30
+N_TRIALS = 8
+N_ITERS = 40
 
 
 def main():
