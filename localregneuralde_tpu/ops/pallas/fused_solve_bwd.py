@@ -59,8 +59,7 @@ def _plan(B: int, F: int, H_pad: int, n_save: int):
     resident = (3 + 2 + n_save) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
     resident += (F * H_pad + 2 * H_pad + H_pad * F + 2 * F) * 4  # wgrads
-    # capped at 64 — the measured-fastest backward tile (see fused_solve)
-    for tb in (64, 32, 16, 8):
+    for tb in (128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
         temps = 20 * tb * F * 4 + 8 * tb * H_pad * 4
