@@ -85,10 +85,9 @@ def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
     """
     resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 2 * F + 2 * F) * 4
-    # tiles are capped at 128: whole-batch tiles fit VMEM but measured ~2×
-    # SLOWER (M=128 already fills the MXU; bigger blocks hurt Mosaic
-    # scheduling granularity) — the large budget is for feasibility only
-    for tb in (128, 64, 32, 16, 8):
+    # whole-batch (512-row) tiles measured ~2× slower; 256 and 128 are
+    # the contenders — the large budget is for feasibility only
+    for tb in (256, 128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
         temps = 11 * tb * F * 4 + 3 * tb * H_pad * 4
