@@ -304,3 +304,18 @@ def test_persistent_sweep_matches_xla_sweep():
     np.testing.assert_allclose(
         np.asarray(p_flat), np.asarray(r_flat), atol=1e-3 * scale
     )
+
+
+def test_odd_batch_falls_back_gracefully():
+    """B not divisible by any tile: the persistent plan declines and the
+    XLA loop serves the solve — no error, correct output."""
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    node = NeuralODE(
+        td, regularize="unbiased", rtol=RTOL, atol=ATOL, max_steps=64,
+        use_pallas=True, use_persistent=True,
+    )
+    params, state = node.init(jax.random.PRNGKey(0))
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (6, F))  # B=6
+    sol, st = node(params, state, x, training=True)
+    assert bool(st["success"])
+    assert np.all(np.isfinite(np.asarray(sol.y_final)))
