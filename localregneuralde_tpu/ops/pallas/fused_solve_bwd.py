@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...ode.tableaus import Tsit5Tableau as T
 from ...ode.tableaus import tsit5_interp_weights
 from .fused_mlp import _split_params
-from .fused_mlp_bwd import _stage_coeffs, _BTILDE
+from .fused_mlp_bwd import _stage_coeffs
 
 
 def _interpret() -> bool:
