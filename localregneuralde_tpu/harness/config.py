@@ -27,6 +27,10 @@ class SolverConfig:
     # rtol < 1e-4 — TPU's default one-pass-bf16 f32 matmuls flood the error
     # estimate with noise at tight tolerances) | default | high | highest
     precision: str = "auto"
+    # persistent-loop Pallas kernels (whole solve / whole sweep in one TPU
+    # program; automatic fallback outside the dense-knot regime) — only
+    # effective when the Pallas kernel family is active
+    use_persistent: bool = True
 
 
 @dataclass

@@ -75,6 +75,7 @@ def _node_kwargs(cfg: ExperimentConfig):
         solver=s.ode_solver,
         adjoint=s.adjoint,
         precision=s.precision,
+        use_persistent=s.use_persistent,
         compute_dtype=cfg.model.dynamics_compute_dtype,
     )
 
