@@ -319,3 +319,54 @@ def test_odd_batch_falls_back_gracefully():
     sol, st = node(params, state, x, training=True)
     assert bool(st["success"])
     assert np.all(np.isfinite(np.asarray(sol.y_final)))
+
+
+def test_persistent_gating_regression_guard():
+    """The flagship configuration must OFFER the persistent kernels (a
+    silent gating regression would quietly fall back to the XLA loops
+    and cost the measured 1.5× train speedup)."""
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    node = NeuralODE(
+        td, regularize="unbiased", rtol=RTOL, atol=ATOL, max_steps=64,
+        use_pallas=True,
+    )
+    assert node._pallas_family == "mlp"
+    assert node._persistent_fn() is not None
+    assert node._sweep_fn() is not None
+    # knob disables it
+    node_off = NeuralODE(
+        td, regularize="unbiased", rtol=RTOL, atol=ATOL, max_steps=64,
+        use_pallas=True, use_persistent=False,
+    )
+    assert node_off._persistent_fn() is None
+    assert node_off._sweep_fn() is None
+    # the conv family must NOT take the mlp persistent path
+    from localregneuralde_tpu.nn import BatchNorm, Conv
+
+    conv_td = TDChain(
+        Chain(Conv((3, 3), 9, 16, use_bias=False), BatchNorm(16, "gelu")),
+        Chain(Conv((3, 3), 17, 16, use_bias=False), BatchNorm(16, "gelu")),
+        Conv((3, 3), 17, 8, use_bias=False),
+    )
+    conv_node = NeuralODE(
+        conv_td, regularize="unbiased", rtol=1e-3, atol=1e-3,
+        use_pallas=True,
+    )
+    assert conv_node._pallas_family == "conv"
+    assert conv_node._persistent_fn() is None
+    assert conv_node._sweep_fn() is None
+    # two-level (max_steps > knot_window) must decline knot recording
+    from localregneuralde_tpu.ops.pallas.fused_solve import (
+        persistent_tsit5_solve,
+    )
+
+    ps, _ = td.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((B, F))
+    pf = node._persistent_fn()
+    sol = pf(
+        x, (0.0, 1.0), {"model": ps},
+        saveat_arr=jnp.asarray([1.0]), rtol=RTOL, atol=ATOL,
+        max_steps=64, record_knots=True, knot_dense_cap=None,
+        reservoir_key=None, dt0=None, f_state=None,
+    )
+    assert sol is not None and sol.knot_us is not None
