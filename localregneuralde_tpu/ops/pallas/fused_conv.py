@@ -21,23 +21,27 @@ Design:
 - **Channels-first flat layout** ``(C, B·H·W)`` inside the kernel: the
   8-channel state tensors are (8, 32768) — compact on sublanes — instead
   of lane-padding 8 → 128 (16× memory blowup in NHWC-flat).
-- **Convs as per-dy shifted matmuls**: ``y = Σ_dy W_dy (Cout,3Cin) @
-  roll(xcat, -(dy-1)·W)`` where ``xcat`` stacks the three w-shifts of the
-  input on sublanes, with border masks on the output-lane w/h positions.
-  Rolling by multiples of W preserves w-position, so the w-masks commute
-  with the dy-roll (exactness argument in ``_conv_cf``).
+- **Convs as 9 per-tap (roll, mask, matmul) groups** inside a fori:
+  ``y = Σ_tap W_tap (Cout,Cin) @ (m_tap ⊙ roll(x, -Δ_tap))`` with
+  ``Δ_tap = (dy-1)·W + (dx-1)`` and ``m_tap`` the border-validity mask of
+  the source position at each output lane (rolls wrap across image/batch
+  boundaries only at masked lanes — exactness follows).
 - **Time channel, concat-free**: ``conv(concat(x, t·1)) = conv(x) +
   t·tmap`` with ``tmap = conv(ones, W[:,:,C:,:])`` — the constant border
   map is precomputed in XLA and passed in pre-expanded to (Cout, B·H·W)
   (``models/common.py:_apply_time_dependent`` is the XLA twin of this).
 - **BatchNorm in training mode** normalizes with batch statistics
-  computed in-kernel (lane reductions); the per-eval (mean, var) pairs
-  are emitted so the wrapper can replicate the sequential running-stat
-  updates exactly. Eval mode takes the running stats as inputs.
+  computed in-kernel (lane reductions); the sequential per-eval
+  running-stat EMA chain is applied in-kernel and the final running
+  stats are emitted. Eval mode takes the running stats as inputs.
 
-The backward transposes the pure-XLA twin (the exact dynamics the
-TDChain executes) via ``jax.vjp`` — same pattern as the fused TD-MLP
-step before its hand-fused backward.
+The backward is the hand-fused kernel (``fused_conv_bwd.py``) by
+default; the pure-XLA twin transpose remains available
+(``hand_bwd=False``) as the parity reference.
+
+STATUS: correct (parity-tested) but measured 3-4× SLOWER than XLA's
+native conv chain at the CIFAR shapes — gated behind ``use_pallas='on'``;
+see RESULTS.md round 3 for the analysis.
 """
 from __future__ import annotations
 

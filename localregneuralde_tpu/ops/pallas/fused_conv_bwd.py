@@ -17,14 +17,12 @@ Per-eval intermediates (x̂, post-activation) are recomputed immediately
 before that eval's transpose and discarded after — peak VMEM stays
 ~90 MB at the CIFAR shapes (B=32, 32², 8/64 ch) inside the 128 MB core.
 
-Transpose identities (derived from the forward's masked-roll form; roll
-by multiples of W commutes with the w-masks exactly as in the forward):
+Transpose identities (per tap, from the forward's masked-roll form):
 
-    y = Σ_dy W_dy @ (mh_dy ⊙ roll(xcat, -(dy-1)·W))
-    ⇒ dxcat  = Σ_dy roll(mh_dy ⊙ (W_dyᵀ @ dy_ct), +(dy-1)·W)
-      dW_dy  = dy_ct ·_N (mh_dy ⊙ roll(xcat, -(dy-1)·W))   (contract N)
-      dx     = Σ_dx roll(mw_dx ⊙ dxcat[dx-block], +(dx-1))
-      dw_t[dy,dx] = s · Σ_n mh_dy·mw_dx·dy_ct[:, n]        (time channel)
+    y = Σ_tap W_tap @ (m_tap ⊙ roll(x, -Δ_tap))
+    ⇒ dx      += roll(m_tap ⊙ (W_tapᵀ @ dy_ct), +Δ_tap)
+      dW_tap  += dy_ct ·_N (m_tap ⊙ roll(x, -Δ_tap))       (contract N)
+      dw_t[tap] = s · (m_tap ·_N dy_ct)                    (time channel)
 
 BatchNorm backward uses the batch statistics (training mode):
     dz = (γ/σ)·(dĝ − mean(dĝ) − x̂·mean(dĝ·x̂)),  dγ = Σ dĝ·x̂, dβ = Σ dĝ
