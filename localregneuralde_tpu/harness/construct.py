@@ -146,8 +146,6 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
 def _construct_cifar10_cnn(cfg: ExperimentConfig):
     """AugmenterLayer 3→8ch → BatchNorm → NeuralODE(TDChain convs) →
     conv classifier (reference ``construct.jl:212-228``; NHWC here)."""
-    import jax
-
     m = cfg.model
     node_core = TDChain(
         Chain(

@@ -213,6 +213,10 @@ def odesolve(
     # the stored adjoint) in the dense-knot regime — windowed replay needs
     # bitwise-matching re-integration, which a different reduction order
     # for the error norm cannot guarantee (fused_solve.py docstring).
+    # Caveat (documented, accepted): on a FAILED solve (success=False) the
+    # kernel's speculative dense-output writes from rejected attempts can
+    # remain in `ys`, where this loop only commits accepted interpolations —
+    # consumers that ignore `success` may read different values there.
     if (
         persistent_fn is not None
         and adjoint == "none"

@@ -302,7 +302,13 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
                 u_ref[:] = cand_u_ref[:]
                 k1_ref[:] = cand_k7_ref[:]
                 if record_knots:
-                    cnt_i = nacc + 1
+                    # writes beyond the dense capacity clamp to the LAST
+                    # slot (keeps the DMA start/wait pairing balanced).
+                    # Equivalent to the XLA loop's mode='drop' for every
+                    # consumer: dense knots are only read when
+                    # naccept <= dense_cap (no overflow) — the stored
+                    # adjoint switches to windowed replay otherwise.
+                    cnt_i = jnp.minimum(nacc + 1, n_dense - 1)
                     knot_ts_ref[cnt_i] = t_new
                     knot_dma(u_ref, knot_us_ref, cnt_i, sems.at[0]).start()
                     knot_dma(k1_ref, knot_ks_ref, cnt_i, sems.at[1]).start()
