@@ -115,6 +115,9 @@ class TrainConfig:
 class DatasetConfig:
     augment: bool = False
     data_root: str = ""
+    # synthetic-fallback hardness: 'easy' saturates at 100% (smoke/perf),
+    # 'hard' plateaus below ~93% (matched-accuracy science)
+    difficulty: str = "easy"
     eval_batchsize: int = 64
     train_batchsize: int = 64
 

@@ -112,9 +112,16 @@ def load_cifar10(data_root: str = ""):
 
 def synthetic_classification(
     image_size=(28, 28), channels=1, num_classes=10,
-    n_train=8192, n_test=2048, seed=0,
+    n_train=8192, n_test=2048, seed=0, difficulty="easy",
 ):
-    """Class-prototype images + Gaussian noise: learnable, fixed seed."""
+    """Class-prototype images + Gaussian noise: learnable, fixed seed.
+
+    ``difficulty='easy'`` (default): well-separated prototypes — models
+    saturate at 100% within ~50 steps (fine for smoke/perf runs, vacuous
+    for matched-accuracy science). ``'hard'``: prototypes are mixed toward
+    a shared mean (overlap), pixel noise is higher, and 8% of labels are
+    resampled uniformly in BOTH splits — eval accuracy provably plateaus
+    below ~93%, so matched-accuracy comparisons discriminate."""
     rng = np.random.RandomState(seed)
     h, w = image_size
     # smooth prototypes: low-frequency random fields per class
@@ -130,10 +137,23 @@ def synthetic_classification(
                 protos[c] += freq[c, i, j] * basis[..., None]
     protos = (protos - protos.min()) / (np.ptp(protos) + 1e-8)
 
+    hard = difficulty == "hard"
+    if hard:
+        # pull every prototype halfway to the class mean: pairwise
+        # separations shrink 2x while staying learnable
+        protos = 0.5 * protos + 0.5 * protos.mean(axis=0, keepdims=True)
+    noise = 0.4 if hard else 0.25
+    label_noise = 0.08 if hard else 0.0
+
     def make(n, seed_):
         r = np.random.RandomState(seed_)
         y = r.randint(0, num_classes, size=n).astype(np.int32)
-        x = protos[y] + 0.25 * r.randn(n, h, w, channels).astype(np.float32)
+        x = protos[y] + noise * r.randn(n, h, w, channels).astype(np.float32)
+        if label_noise > 0:
+            flip = r.rand(n) < label_noise
+            y = np.where(
+                flip, r.randint(0, num_classes, size=n).astype(np.int32), y
+            )
         return np.clip(x, 0, 1).astype(np.float32), y
 
     x_train, y_train = make(n_train, seed + 1)
@@ -174,7 +194,8 @@ def get_classification_data(cfg):
     if real is not None:
         return real + (True,)
     return synthetic_classification(
-        size, cfg.model.in_channels, cfg.model.num_classes, seed=cfg.seed
+        size, cfg.model.in_channels, cfg.model.num_classes, seed=cfg.seed,
+        difficulty=getattr(cfg.dataset, "difficulty", "easy"),
     ) + (False,)
 
 

@@ -5,7 +5,12 @@ Trains the flagship MNIST MLP Neural ODE with and without local (unbiased,
 error-estimate) regularization and tracks the forward NFE over training.
 Target (BASELINE.md): ≥1.5× NFE reduction at matched accuracy.
 
-Usage: python scripts/nfe_study.py [steps] [out.json]
+The task is the HARD synthetic variant (overlapping prototypes + 8% label
+noise): eval accuracy plateaus below ~93%, so "at matched accuracy" is a
+discriminating claim — on the easy variant every arm hits 100% by step 50
+(round-2 verdict) and the control is vacuous.
+
+Usage: python scripts/nfe_study.py [steps] [out.json] [difficulty]
 """
 import json
 import sys
@@ -28,7 +33,8 @@ from localregneuralde_tpu.models import NeuralODE, TDChain, diffeqsol_to_array
 from localregneuralde_tpu.nn import Chain, Dense, Flatten, WrappedFunction
 
 
-def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4, seed=0):
+def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4,
+        seed=0, difficulty="hard"):
     F, H = 784, 100
     use_pallas = jax.default_backend() == "tpu"
     td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
@@ -62,7 +68,8 @@ def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4, seed=0)
     train_step = make_train_step(model, loss_fn, optimizer)
 
     x_train, y_train, x_test, y_test = synthetic_classification(
-        (28, 28), 1, 10, n_train=8192, n_test=2048, seed=0
+        (28, 28), 1, 10, n_train=8192, n_test=2048, seed=0,
+        difficulty=difficulty,
     )
     y_train_oh = one_hot(y_train, 10)
     if regularize == "none" or w_reg_start <= 0:
@@ -113,6 +120,7 @@ def run(regularize, w_reg_start, w_reg_end, steps, batch=512, rtol=1e-4, seed=0)
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     out_path = sys.argv[2] if len(sys.argv) > 2 else "nfe_study.json"
+    difficulty = sys.argv[3] if len(sys.argv) > 3 else "hard"
     results = []
     # w_reg=30 const is the headline arm: robust across seeds (round-2
     # finding: w_reg=100 const is bimodal — regularization-induced training
@@ -125,10 +133,17 @@ def main():
         ("unbiased", 100.0, 100.0),
     ]:
         print(f"=== {reg} w_reg={w0}→{w1} ===", flush=True)
-        results.append(run(reg, w0, w1, steps))
+        results.append(run(reg, w0, w1, steps, difficulty=difficulty))
     base = results[0]["final_eval_nfe"]
+    base_acc = results[0]["final_eval_acc"]
     for r in results[1:]:
         r["nfe_reduction_vs_none"] = base / max(r["final_eval_nfe"], 1)
+        # matched-accuracy control: reduction only counts if the regularized
+        # arm reaches the unregularized arm's accuracy (within 2 points)
+        r["acc_gap_vs_none"] = r["final_eval_acc"] - base_acc
+        r["matched_accuracy"] = bool(r["final_eval_acc"] >= base_acc - 2.0)
+    for r in results:
+        r["difficulty"] = difficulty
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     for r in results:
