@@ -65,6 +65,7 @@ class NeuralODE(Module):
         use_persistent: bool = True,
         precision: str = "auto",
         compute_dtype: Optional[str] = None,
+        knot_window: Optional[int] = None,
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -90,6 +91,9 @@ class NeuralODE(Module):
         self.solver = solver
         self.use_pallas = use_pallas
         self.use_persistent = use_persistent
+        # stored-adjoint dense-knot capacity (default 512 in
+        # ode/stored_adjoint.py); solves beyond it use windowed replay
+        self.knot_window = None if knot_window is None else int(knot_window)
         # MXU input precision for all dynamics-path matmuls: at tight
         # tolerances TPU DEFAULT (one bf16 pass) floods the embedded error
         # estimate with rounding noise and the solver can never accept a
@@ -289,27 +293,36 @@ class NeuralODE(Module):
         prec = self.mm_precision
 
         def pf(u0, tspan, p, *, saveat_arr, rtol, atol, max_steps,
-               record_knots, knot_dense_cap, reservoir_key, dt0, f_state):
+               record_knots, knot_dense_cap, reservoir_key, dt0, f_state,
+               knot_stride=1, plan_only=False):
             if record_knots:
                 # the persistent forward records PADDED knots, which only
                 # the persistent sweep can consume — decline when the
                 # sweep can't run so the XLA loop records unpadded knots
-                # for the XLA fallback sweep
+                # for the XLA fallback sweep. Two-level (stride > 1)
+                # additionally requires the windowed-replay sweep plan.
                 from ..ops.pallas.fused_solve_bwd import sweep_feasible
 
                 if not sweep_feasible(
                     p["model"], u0.shape[0], u0.shape[1],
                     int(saveat_arr.shape[0]),
+                    two_level=knot_stride > 1,
+                    use_reservoir=reservoir_key is not None,
                 ):
                     return None
             out = persistent_tsit5_solve(
                 p["model"], u0, tspan, rtol=rtol, atol=atol,
                 saveat_arr=saveat_arr, max_steps=max_steps,
                 record_knots=record_knots, knot_dense_cap=knot_dense_cap,
+                knot_stride=knot_stride,
+                # the persistent sweep recomputes k1 in-kernel; skip the
+                # dense k-stream (halves per-accept DMA traffic)
+                record_ks=False,
                 reservoir_key=reservoir_key, precision=prec, dt0=dt0,
+                plan_only=plan_only,
             )
-            if out is None:
-                return None
+            if out is None or plan_only:
+                return out
             # the fused family is stateless: threading f_state through the
             # trajectory is the identity
             return ODESolution(
@@ -319,7 +332,9 @@ class NeuralODE(Module):
                 success=out["success"], reservoir_t=out["reservoir_t"],
                 reservoir_u=out["reservoir_u"], f_state=f_state,
                 knot_ts=out["knot_ts"], knot_us=out["knot_us"],
-                knot_ks=out["knot_ks"],
+                knot_ks=out["knot_ks"], ckpt_ts=out["ckpt_ts"],
+                ckpt_us=out["ckpt_us"], ckpt_ks=out["ckpt_ks"],
+                ckpt_dts=out["ckpt_dts"], ckpt_qolds=out["ckpt_qolds"],
             )
 
         return pf
@@ -335,15 +350,32 @@ class NeuralODE(Module):
             return None
         from jax.flatten_util import ravel_pytree
 
-        from ..ops.pallas.fused_solve_bwd import persistent_stored_sweep
+        from ..ops.pallas.fused_solve_bwd import (
+            persistent_stored_sweep,
+            persistent_two_level_sweep,
+        )
 
         prec = self.mm_precision
 
-        def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y):
-            res = persistent_stored_sweep(
-                p["model"], knot_ts, knot_us, naccept, saveat_arr, ct_ys,
-                ct_y, precision=prec, grad_precision=None,
-            )
+        def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y,
+                  two_level_ctx=None):
+            if two_level_ctx is None:
+                res = persistent_stored_sweep(
+                    p["model"], knot_ts, knot_us, naccept, saveat_arr,
+                    ct_ys, ct_y, precision=prec, grad_precision=None,
+                )
+            else:
+                c = two_level_ctx
+                res = persistent_two_level_sweep(
+                    p["model"], knot_ts, knot_us, naccept, saveat_arr,
+                    ct_ys, ct_y, c["ckpt_ts"], c["ckpt_us"], c["ckpt_ks"],
+                    c["ckpt_dts"], c["ckpt_qolds"], t_end=c["t_end"],
+                    rtol=c["rtol"], atol=c["atol"],
+                    max_steps=c["max_steps"], stride=c["stride"],
+                    dense_cap=c["dense_cap"],
+                    use_reservoir=c["use_reservoir"],
+                    precision=prec, grad_precision=None,
+                )
             if res is None:
                 return None
             a_u, a_k, d_pm = res
@@ -368,6 +400,7 @@ class NeuralODE(Module):
                 step_vjp=self._step_vjp(),
                 persistent_fn=self._persistent_fn(),
                 sweep_fn=self._sweep_fn(),
+                knot_window=self.knot_window,
             )
         from ..ode.multistep import adams_solve
 

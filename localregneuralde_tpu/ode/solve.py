@@ -210,23 +210,21 @@ def odesolve(
 
     # Persistent-loop Pallas path: the whole adaptive solve in one kernel.
     # Only for non-differentiated solves (inference / the fenced primal of
-    # the stored adjoint) in the dense-knot regime — windowed replay needs
-    # bitwise-matching re-integration, which a different reduction order
-    # for the error norm cannot guarantee (fused_solve.py docstring).
+    # the stored adjoint). With knot_stride > 1 the kernel also records
+    # replayable checkpoints; the persistent backward sweep replays windows
+    # with the forward kernel's own tile code (fused_solve.py docstring) —
+    # the XLA fallback sweep never consumes persistent knots (gated by the
+    # caller via plan_only).
     # Caveat (documented, accepted): on a FAILED solve (success=False) the
     # kernel's speculative dense-output writes from rejected attempts can
     # remain in `ys`, where this loop only commits accepted interpolations —
     # consumers that ignore `success` may read different values there.
-    if (
-        persistent_fn is not None
-        and adjoint == "none"
-        and (not record_knots or knot_stride <= 1)
-    ):
+    if persistent_fn is not None and adjoint == "none":
         sol = persistent_fn(
             u0, tspan, p, saveat_arr=saveat_arr, rtol=rtol, atol=atol,
             max_steps=max_steps, record_knots=record_knots,
-            knot_dense_cap=knot_dense_cap, reservoir_key=reservoir_key,
-            dt0=dt0, f_state=f_state,
+            knot_dense_cap=knot_dense_cap, knot_stride=knot_stride,
+            reservoir_key=reservoir_key, dt0=dt0, f_state=f_state,
         )
         if sol is not None:
             return sol

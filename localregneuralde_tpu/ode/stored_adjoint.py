@@ -136,6 +136,24 @@ def stored_odesolve(
         d_p, d_u, _d_t, _d_dt, d_k1 = vjp((d_unew, d_ks))
         return d_p, d_u, d_k1
 
+    # Will the persistent whole-solve kernel serve this configuration?
+    # (Static: shapes/plan only.) Decides whether the backward may use the
+    # persistent sweep — in the two-level regime the windowed replay
+    # reproduces the PERSISTENT kernel's arithmetic, so it must never run
+    # against an XLA-loop forward (and vice versa: the XLA windowed replay
+    # must never run against persistent-recorded checkpoints).
+    persistent_active = False
+    if persistent_fn is not None:
+        persistent_active = bool(
+            persistent_fn(
+                u0, (t0, t_end), p, saveat_arr=saveat_arr, rtol=rtol,
+                atol=atol, max_steps=max_steps, record_knots=True,
+                knot_dense_cap=dense_cap, knot_stride=stride,
+                reservoir_key=reservoir_key, dt0=None, f_state=f_state,
+                plan_only=True,
+            )
+        )
+
     def run_solve(u0_, p_, saveat_):
         # THE forward solve: differentiable outputs and fenced auxiliaries
         # (stats, reservoir, threaded f_state, knots) from one integration.
@@ -231,13 +249,38 @@ def stored_odesolve(
             return a_u, a_k, a_p
 
         # persistent whole-sweep Pallas kernel (fused_solve_bwd.py): the
-        # dense sweep in one program. May decline (None) on VMEM plan.
+        # dense sweep in one program; in the two-level regime (only valid
+        # against a persistent forward — see persistent_active above) the
+        # kernel branches per solve between the dense sweep and in-kernel
+        # window replay from the recorded checkpoints. May decline (None)
+        # on VMEM plan.
         swept = None
         if sweep_fn is not None and not two_level:
             swept = sweep_fn(
                 p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y
             )
+        elif sweep_fn is not None and two_level and persistent_active:
+            swept = sweep_fn(
+                p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y,
+                two_level_ctx=dict(
+                    ckpt_ts=ckpt_ts, ckpt_us=ckpt_us, ckpt_ks=ckpt_ks,
+                    ckpt_dts=ckpt_dts, ckpt_qolds=ckpt_qolds,
+                    t_end=t_end, rtol=rtol, atol=atol,
+                    max_steps=max_steps, stride=stride,
+                    dense_cap=dense_cap,
+                    use_reservoir=reservoir_key is not None,
+                ),
+            )
 
+        if swept is None and two_level and persistent_active:
+            # the persistent forward recorded PADDED knots/checkpoints the
+            # XLA replay cannot consume; plan consistency between pf's
+            # sweep_feasible gate and the sweep builder should make this
+            # unreachable — fail loudly rather than crash on shapes.
+            raise RuntimeError(
+                "persistent two-level sweep declined after the persistent "
+                "forward recorded checkpoints (plan inconsistency)"
+            )
         if swept is not None:
             a_u, a_k, a_p = swept
         elif not two_level:

@@ -30,6 +30,16 @@ kernel eliminates the carrier traffic entirely:
   on accept, the committed ``(u, k1)`` are DMA'd to the knot buffers while
   the next attempt computes; the copy is awaited at the *next* accept
   before the buffers are overwritten (single-slot pipelining).
+- **Two-level checkpointing** (``knot_stride = W > 1``): every W-th
+  accepted state is ADDITIONALLY recorded together with the controller
+  state ``(dt_next, qold)`` — the persistent backward sweep
+  (``fused_solve_bwd``) replays one W-step window at a time from these
+  checkpoints using ``run_attempt_tiles`` below with the SAME tile size,
+  so the replayed accept/reject sequence is arithmetically identical to
+  this forward's (the XLA replay cannot guarantee that against a
+  persistent forward — different error-norm reduction order). This makes
+  the reference's ``maxiters = 10_000`` configs (``construct.jl:196``)
+  run entirely on the persistent kernels.
 - **Reservoir sampling** for the biased mode consumes pre-generated
   uniforms (one per attempt, SMEM) — O(1) memory, distributionally
   identical to the XLA loop's per-iteration key splits.
@@ -39,9 +49,7 @@ matmuls — batch tile size does not change row values), but the error-norm
 REDUCTION ORDER differs (per-tile partial sums vs XLA's tree reduction), so
 accept sequences can diverge by an ulp-level coin flip on rare steps.
 Trajectories agree to solver accuracy; NFE counts agree up to that
-boundary effect. For this reason the stored adjoint only uses this kernel
-in the dense-knot regime (no windowed REPLAY, which would require a
-bitwise-matching second integration).
+boundary effect.
 
 Reference parity: this module replaces OrdinaryDiffEq's integrator loop
 (SURVEY.md §2d: ``solve(...)`` at ``src/layers/neural_ode.jl:51``) for the
@@ -124,8 +132,70 @@ def _propose(ctrl: PIController, eest, dt, qold):
     return dt_accept, dt_reject, qold_accept
 
 
+def run_attempt_tiles(f, u_ref, k1_ref, cand_u_ref, cand_k7_ref, t, dt_c,
+                      tb, n_tiles, atol, rtol, on_stages=None):
+    """One adaptive attempt's stage math, tile-by-tile over the batch:
+    writes the step candidates ``(u_new, k7)`` into the cand refs and
+    returns the accumulated squared scaled residual.
+
+    BITWISE CONTRACT: the backward window replay (``fused_solve_bwd``)
+    calls this with the same ``tb`` as the forward kernel, so the replayed
+    error norm — and therefore the accept/reject and dt sequence — is
+    arithmetically identical to the forward's. Any math change here is
+    automatically shared by both.
+
+    ``on_stages(off, ks, u)``: optional callback for the forward's
+    speculative dense-output writes (pure stores — does not affect the
+    computed values).
+    """
+    def tile_pass(i, err_acc):
+        off = i * tb
+        u = u_ref[pl.ds(off, tb), :]
+        k1 = k1_ref[pl.ds(off, tb), :]
+        k2 = f(u + dt_c * (T.a21 * k1), t + T.c1 * dt_c)
+        k3 = f(u + dt_c * (T.a31 * k1 + T.a32 * k2), t + T.c2 * dt_c)
+        k4 = f(
+            u + dt_c * (T.a41 * k1 + T.a42 * k2 + T.a43 * k3),
+            t + T.c3 * dt_c,
+        )
+        k5 = f(
+            u + dt_c * (
+                T.a51 * k1 + T.a52 * k2 + T.a53 * k3 + T.a54 * k4
+            ),
+            t + T.c4 * dt_c,
+        )
+        g6 = u + dt_c * (
+            T.a61 * k1 + T.a62 * k2 + T.a63 * k3 + T.a64 * k4
+            + T.a65 * k5
+        )
+        k6 = f(g6, t + dt_c)
+        u_new = u + dt_c * (
+            T.a71 * k1 + T.a72 * k2 + T.a73 * k3 + T.a74 * k4
+            + T.a75 * k5 + T.a76 * k6
+        )
+        k7 = f(u_new, t + dt_c)
+        utilde = dt_c * (
+            T.btilde1 * k1 + T.btilde2 * k2 + T.btilde3 * k3
+            + T.btilde4 * k4 + T.btilde5 * k5 + T.btilde6 * k6
+            + T.btilde7 * k7
+        )
+        cand_u_ref[pl.ds(off, tb), :] = u_new
+        cand_k7_ref[pl.ds(off, tb), :] = k7
+
+        if on_stages is not None:
+            on_stages(off, (k1, k2, k3, k4, k5, k6, k7), u)
+
+        res = utilde / (
+            atol + jnp.maximum(jnp.abs(u), jnp.abs(u_new)) * rtol
+        )
+        return err_acc + jnp.sum(res * res)
+
+    return lax.fori_loop(0, n_tiles, tile_pass, jnp.float32(0.0))
+
+
 def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
-                 max_steps, n_dense, use_reservoir):
+                 max_steps, n_dense, use_reservoir, stride, n_ckpt,
+                 record_ks):
     """Build the persistent-solve kernel body for a static configuration.
 
     ``F`` is the PADDED feature width (multiple of 128 — Mosaic DMA slices
@@ -135,6 +205,7 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
     shared-batch error norm.
     """
     record_knots = n_dense > 0
+    record_ckpts = n_ckpt > 0
     n_tiles = B // tb
     ctrl = PIController()
     inv_n = 1.0 / float(B * F_logical)
@@ -168,12 +239,18 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
             # whole). The wrapper reshapes to (n_dense, B, F).
             knot_ts_ref = next(it)   # SMEM (n_dense,)
             knot_us_ref = next(it)   # ANY/HBM (n_dense·B, F)
-            knot_ks_ref = next(it)   # ANY/HBM (n_dense·B, F)
+            knot_ks_ref = next(it) if record_ks else None
+        if record_ckpts:
+            ckpt_ts_ref = next(it)     # SMEM (n_ckpt,)
+            ckpt_dts_ref = next(it)    # SMEM (n_ckpt,)
+            ckpt_qolds_ref = next(it)  # SMEM (n_ckpt,)
+            ckpt_us_ref = next(it)     # ANY/HBM (n_ckpt·B, F)
+            ckpt_ks_ref = next(it)     # ANY/HBM (n_ckpt·B, F)
         # scratch
         k1_ref = next(it)            # VMEM (B, F): working k1 (FSAL)
         cand_u_ref = next(it)        # VMEM (B, F)
         cand_k7_ref = next(it)       # VMEM (B, F)
-        sems = next(it) if record_knots else None  # DMA sems (2,)
+        sems = next(it) if (record_knots or record_ckpts) else None
 
         t0 = sc_ref[0]
         t_end = sc_ref[1]
@@ -183,6 +260,12 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
             return _eval_mlp(
                 x, s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
                 b2_ref[:], w2t_ref[:], precision,
+            )
+
+        def dma_to(vm_ref, hbm_ref, slot, sem):
+            off = pl.multiple_of(slot * B, B)
+            return pltpu.make_async_copy(
+                vm_ref, hbm_ref.at[pl.ds(off, B), :], sem
             )
 
         # ---- init
@@ -200,16 +283,27 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
             lax.fori_loop(1, n_dense, init_ts, 0)
             knot_ts_ref[0] = t0
 
-            def knot_dma(vm_ref, hbm_ref, slot, sem):
-                off = pl.multiple_of(slot * B, B)
-                return pltpu.make_async_copy(
-                    vm_ref, hbm_ref.at[pl.ds(off, B), :], sem
-                )
-
             # knot slot 0 = (t0, u0, k1_0); left in flight — first accept
             # (or kernel end) waits on it before overwriting u/k1.
-            knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).start()
-            knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).start()
+            dma_to(u_ref, knot_us_ref, 0, sems.at[0]).start()
+            if record_ks:
+                dma_to(k1_ref, knot_ks_ref, 0, sems.at[1]).start()
+        if record_ckpts:
+            def init_ckpt(i, c):
+                ckpt_ts_ref[i] = t_end
+                ckpt_dts_ref[i] = 0.0
+                ckpt_qolds_ref[i] = jnp.float32(ctrl.qoldinit)
+                return c
+
+            lax.fori_loop(1, n_ckpt, init_ckpt, 0)
+            ckpt_ts_ref[0] = t0
+            ckpt_dts_ref[0] = dt0
+            ckpt_qolds_ref[0] = jnp.float32(ctrl.qoldinit)
+            # synchronous copies (once per solve): slot 0 = (u0, k1_0)
+            dma_to(u_ref, ckpt_us_ref, 0, sems.at[2]).start()
+            dma_to(k1_ref, ckpt_ks_ref, 0, sems.at[3]).start()
+            dma_to(u_ref, ckpt_us_ref, 0, sems.at[2]).wait()
+            dma_to(k1_ref, ckpt_ks_ref, 0, sems.at[3]).wait()
 
         def attempt(carry):
             t, dt, qold, done, natt, nacc, nrej, res_t = carry
@@ -224,43 +318,9 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
                 for i in range(n_save)
             ]
 
-            def tile_pass(i, err_acc):
-                off = i * tb
-                u = u_ref[pl.ds(off, tb), :]
-                k1 = k1_ref[pl.ds(off, tb), :]
-                k2 = f(u + dt_c * (T.a21 * k1), t + T.c1 * dt_c)
-                k3 = f(u + dt_c * (T.a31 * k1 + T.a32 * k2), t + T.c2 * dt_c)
-                k4 = f(
-                    u + dt_c * (T.a41 * k1 + T.a42 * k2 + T.a43 * k3),
-                    t + T.c3 * dt_c,
-                )
-                k5 = f(
-                    u + dt_c * (
-                        T.a51 * k1 + T.a52 * k2 + T.a53 * k3 + T.a54 * k4
-                    ),
-                    t + T.c4 * dt_c,
-                )
-                g6 = u + dt_c * (
-                    T.a61 * k1 + T.a62 * k2 + T.a63 * k3 + T.a64 * k4
-                    + T.a65 * k5
-                )
-                k6 = f(g6, t + dt_c)
-                u_new = u + dt_c * (
-                    T.a71 * k1 + T.a72 * k2 + T.a73 * k3 + T.a74 * k4
-                    + T.a75 * k5 + T.a76 * k6
-                )
-                k7 = f(u_new, t + dt_c)
-                utilde = dt_c * (
-                    T.btilde1 * k1 + T.btilde2 * k2 + T.btilde3 * k3
-                    + T.btilde4 * k4 + T.btilde5 * k5 + T.btilde6 * k6
-                    + T.btilde7 * k7
-                )
-                cand_u_ref[pl.ds(off, tb), :] = u_new
-                cand_k7_ref[pl.ds(off, tb), :] = k7
-
+            def on_stages(off, ks, u):
                 # speculative dense output (see module docstring for why
                 # last-write-wins makes this exact)
-                ks = (k1, k2, k3, k4, k5, k6, k7)
                 for s_idx in range(n_save):
                     @pl.when(hits[s_idx])
                     def _(s_idx=s_idx, ks=ks, u=u):
@@ -273,12 +333,10 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
                             acc = acc + b_w * k_v
                         ys_ref[s_idx, pl.ds(off, tb), :] = u + dt_c * acc
 
-                res = utilde / (
-                    atol + jnp.maximum(jnp.abs(u), jnp.abs(u_new)) * rtol
-                )
-                return err_acc + jnp.sum(res * res)
-
-            err_sq = lax.fori_loop(0, n_tiles, tile_pass, jnp.float32(0.0))
+            err_sq = run_attempt_tiles(
+                f, u_ref, k1_ref, cand_u_ref, cand_k7_ref, t, dt_c, tb,
+                n_tiles, atol, rtol, on_stages,
+            )
             eest = jnp.sqrt(err_sq * inv_n)
             accept = eest <= 1.0
             dt_acc, dt_rej, qold_acc = _propose(ctrl, eest, dt_c, qold)
@@ -297,8 +355,9 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
             def _():
                 if record_knots:
                     # previous knot DMA must land before u/k1 change
-                    knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).wait()
-                    knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
+                    dma_to(u_ref, knot_us_ref, 0, sems.at[0]).wait()
+                    if record_ks:
+                        dma_to(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
                 u_ref[:] = cand_u_ref[:]
                 k1_ref[:] = cand_k7_ref[:]
                 if record_knots:
@@ -310,8 +369,26 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
                     # adjoint switches to windowed replay otherwise.
                     cnt_i = jnp.minimum(nacc + 1, n_dense - 1)
                     knot_ts_ref[cnt_i] = t_new
-                    knot_dma(u_ref, knot_us_ref, cnt_i, sems.at[0]).start()
-                    knot_dma(k1_ref, knot_ks_ref, cnt_i, sems.at[1]).start()
+                    dma_to(u_ref, knot_us_ref, cnt_i, sems.at[0]).start()
+                    if record_ks:
+                        dma_to(k1_ref, knot_ks_ref, cnt_i, sems.at[1]).start()
+                if record_ckpts:
+                    cnt_raw = nacc + 1
+                    ci = cnt_raw // stride
+
+                    @pl.when(cnt_raw % stride == 0)
+                    def _():
+                        # checkpoint = state after this accept + the
+                        # controller state (dt of the NEXT attempt, qold)
+                        # a window replay needs (ode/solve.py parity).
+                        # Synchronous: once per `stride` accepts.
+                        ckpt_ts_ref[ci] = t_new
+                        ckpt_dts_ref[ci] = dt_acc
+                        ckpt_qolds_ref[ci] = qold_acc
+                        dma_to(u_ref, ckpt_us_ref, ci, sems.at[2]).start()
+                        dma_to(k1_ref, ckpt_ks_ref, ci, sems.at[3]).start()
+                        dma_to(u_ref, ckpt_us_ref, ci, sems.at[2]).wait()
+                        dma_to(k1_ref, ckpt_ks_ref, ci, sems.at[3]).wait()
 
             t = jnp.where(accept, t_new, t)
             dt = jnp.where(accept, dt_acc, dt_rej)
@@ -341,8 +418,9 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
 
         if record_knots:
             # the last accept's DMA (or the init DMA) is still in flight
-            knot_dma(u_ref, knot_us_ref, 0, sems.at[0]).wait()
-            knot_dma(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
+            dma_to(u_ref, knot_us_ref, 0, sems.at[0]).wait()
+            if record_ks:
+                dma_to(k1_ref, knot_ks_ref, 0, sems.at[1]).wait()
 
         stats_i_ref[0] = nacc
         stats_i_ref[1] = nrej
@@ -356,11 +434,13 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
-                max_steps, n_dense, use_reservoir, vmem_limit, interpret):
+                max_steps, n_dense, use_reservoir, stride, n_ckpt,
+                record_ks, vmem_limit, interpret):
     record_knots = n_dense > 0
+    record_ckpts = n_ckpt > 0
     kernel = _make_kernel(
         precision, rtol, atol, B, F, F_logical, tb, n_save, max_steps,
-        n_dense, use_reservoir,
+        n_dense, use_reservoir, stride, n_ckpt, record_ks,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -382,19 +462,32 @@ def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
         out_specs.append(vmem())
         out_shape.append(jax.ShapeDtypeStruct((B, F), jnp.float32))
     if record_knots:
-        out_specs += [smem(), any_(), any_()]
+        out_specs += [smem(), any_()]
         out_shape += [
             jax.ShapeDtypeStruct((n_dense,), jnp.float32),
             jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
-            jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32),
+        ]
+        if record_ks:
+            out_specs.append(any_())
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_dense * B, F), jnp.float32)
+            )
+    if record_ckpts:
+        out_specs += [smem(), smem(), smem(), any_(), any_()]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_ckpt,), jnp.float32),
+            jax.ShapeDtypeStruct((n_ckpt,), jnp.float32),
+            jax.ShapeDtypeStruct((n_ckpt,), jnp.float32),
+            jax.ShapeDtypeStruct((n_ckpt * B, F), jnp.float32),
+            jax.ShapeDtypeStruct((n_ckpt * B, F), jnp.float32),
         ]
     scratch = [
         pltpu.VMEM((B, F), jnp.float32),
         pltpu.VMEM((B, F), jnp.float32),
         pltpu.VMEM((B, F), jnp.float32),
     ]
-    if record_knots:
-        scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if record_knots or record_ckpts:
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
     return pl.pallas_call(
         kernel,
@@ -424,9 +517,12 @@ def persistent_tsit5_solve(
     max_steps: int,
     record_knots: bool = False,
     knot_dense_cap: Optional[int] = None,
+    knot_stride: int = 1,
+    record_ks: bool = True,
     reservoir_key: Optional[jnp.ndarray] = None,
     precision=None,
     dt0=None,
+    plan_only: bool = False,
 ):
     """Run the whole adaptive solve in one Pallas program.
 
@@ -434,6 +530,13 @@ def persistent_tsit5_solve(
     not fit the VMEM plan (caller falls back to the XLA loop). The initial
     derivative and HNW initial-dt heuristic run outside the kernel (2 NFE,
     once per solve — identical formulas to ``ode/solve.py``).
+
+    ``knot_stride = W > 1`` additionally records every W-th accepted state
+    as a replayable checkpoint (two-level scheme — see module docstring).
+    ``record_ks=False`` skips the dense ``knot_ks`` stream (the persistent
+    backward sweep recomputes k1 in-kernel and never reads it — halves the
+    per-accept DMA traffic). ``plan_only=True`` answers feasibility
+    without building or running anything.
     """
     if u0.ndim != 2 or u0.dtype != jnp.float32:
         return None
@@ -449,6 +552,8 @@ def persistent_tsit5_solve(
     tb, _ = _plan(B, F_pad, H_pad, n_save, use_reservoir, record_knots)
     if tb is None:
         return None
+    if plan_only:
+        return True
 
     t0 = jnp.asarray(tspan[0], jnp.float32)
     t_end = jnp.asarray(tspan[1], jnp.float32)
@@ -477,12 +582,17 @@ def persistent_tsit5_solve(
             max_steps, int(knot_dense_cap)
         )
         n_dense = cap + 1
+    stride = max(1, int(knot_stride))
+    n_ckpt = (int(max_steps) // stride + 1) if (
+        record_knots and stride > 1
+    ) else 0
+    use_ks = bool(record_ks) and record_knots
 
     _, vmem_est = _plan(B, F_pad, H_pad, n_save, use_reservoir, record_knots)
     call = _build_call(
         precision, float(rtol), float(atol), B, F_pad, F, H_pad, tb,
-        n_save, int(max_steps), n_dense, use_reservoir,
-        int(vmem_est) + 6 * 1024 * 1024, _interpret(),
+        n_save, int(max_steps), n_dense, use_reservoir, stride, n_ckpt,
+        use_ks, int(vmem_est) + 6 * 1024 * 1024, _interpret(),
     )
 
     if F_pad != F:
@@ -512,13 +622,22 @@ def persistent_tsit5_solve(
     if use_reservoir:
         res_u = outs[i][:, :F]; i += 1
     knot_ts = knot_us = knot_ks = None
+    ckpt_ts = ckpt_us = ckpt_ks = None
+    ckpt_dts = ckpt_qolds = None
     if record_knots:
         # knots stay PADDED (n_dense, B, F_pad) — consumed by the
         # persistent sweep, never by the XLA fallback (the caller gates
         # record_knots on sweep feasibility)
         knot_ts = outs[i]; i += 1
         knot_us = outs[i].reshape(n_dense, B, F_pad); i += 1
-        knot_ks = outs[i].reshape(n_dense, B, F_pad); i += 1
+        if use_ks:
+            knot_ks = outs[i].reshape(n_dense, B, F_pad); i += 1
+    if n_ckpt > 0:
+        ckpt_ts = outs[i]; i += 1
+        ckpt_dts = outs[i]; i += 1
+        ckpt_qolds = outs[i]; i += 1
+        ckpt_us = outs[i].reshape(n_ckpt, B, F_pad); i += 1
+        ckpt_ks = outs[i].reshape(n_ckpt, B, F_pad); i += 1
 
     return dict(
         y_final=y_final,
@@ -533,4 +652,10 @@ def persistent_tsit5_solve(
         knot_ts=knot_ts,
         knot_us=knot_us,
         knot_ks=knot_ks,
+        ckpt_ts=ckpt_ts,
+        ckpt_us=ckpt_us,
+        ckpt_ks=ckpt_ks,
+        ckpt_dts=ckpt_dts,
+        ckpt_qolds=ckpt_qolds,
+        forward_tile=tb,
     )

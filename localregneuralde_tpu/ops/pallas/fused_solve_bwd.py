@@ -22,13 +22,29 @@ WHOLE sweep in one program:
   VMEM, so the kernel is gated to small ``n_save`` (the fused TD-MLP
   family's training configs use 1–2 saveat points).
 
+**Two-level mode** (``persistent_two_level_sweep``): for the reference's
+``maxiters = 10_000`` capacity (``construct.jl:196``), the forward records
+dense knots only up to ``dense_cap`` accepted steps plus every-W-th
+replayable checkpoint (``fused_solve.py``). The kernel then branches
+per-solve IN-KERNEL:
+
+- ``naccept <= dense_cap`` (the common case): the dense sweep above;
+- longer solves: one W-step window at a time, REPLAYED in-kernel from its
+  checkpoint via ``fused_solve.run_attempt_tiles`` — the forward kernel's
+  own stage/error-norm code at the forward's own tile size, so the
+  replayed accept/reject/dt sequence is arithmetically identical to the
+  forward's (an XLA replay cannot guarantee that against a persistent
+  forward: different error-norm reduction order). Replayed window states
+  stage through an HBM scratch buffer and are swept like dense knots.
+
 What stays in XLA (once per solve, not per step): the FSAL-chain closure
 ``vjp(f(u0, t0))`` applied to the final ``a_k``, and the pre-t0 saveat
 cotangent passthrough — see ``stored_adjoint.core_bwd``.
 
 Precision policy matches ``fused_mlp_bwd``: forward-recompute dots run at
 ``precision`` (stage values must track the forward trajectory at tight
-tolerances); cotangent/weight-grad dots run at ``grad_precision``.
+tolerances); cotangent/weight-grad dots run at ``grad_precision``. The
+window replay runs at ``precision`` (it must track the forward exactly).
 """
 from __future__ import annotations
 
@@ -40,10 +56,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...ode.controller import PIController
 from ...ode.tableaus import Tsit5Tableau as T
 from ...ode.tableaus import tsit5_interp_weights
-from .fused_mlp import _split_params
+from .fused_mlp import _eval_mlp, _split_params
 from .fused_mlp_bwd import _stage_coeffs
+from .fused_solve import _plan as _fwd_plan
+from .fused_solve import _propose, run_attempt_tiles
 
 
 def _interpret() -> bool:
@@ -54,11 +73,17 @@ _VMEM_BUDGET = 88 * 1024 * 1024  # v5e VMEM is 128 MB physical (measured)
 _MAX_NSAVE = 2
 
 
-def _plan(B: int, F: int, H_pad: int, n_save: int):
+def _plan(B: int, F: int, H_pad: int, n_save: int, replay_tile: int = 0):
+    """Sweep tile size under the VMEM budget (or None). ``replay_tile > 0``
+    (two-level mode) additionally budgets the window-replay working set:
+    4 batch-sized state buffers + the forward-tile stage temporaries."""
     # residents: ct_y input, a_u, a_k outs, 2-slot knot stage, ct_ys input
     resident = (3 + 2 + n_save) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
     resident += (F * H_pad + 2 * H_pad + H_pad * F + 2 * F) * 4  # wgrads
+    if replay_tile > 0:
+        resident += 4 * B * F * 4  # u_work, k1_work, cand_u, cand_k7
+        resident += 11 * replay_tile * F * 4 + 3 * replay_tile * H_pad * 4
     for tb in (128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
@@ -68,7 +93,20 @@ def _plan(B: int, F: int, H_pad: int, n_save: int):
     return None, None
 
 
-def sweep_feasible(params, B: int, F: int, n_save: int) -> bool:
+def _forward_tile(params, B: int, F: int, n_save: int,
+                  use_reservoir: bool):
+    """The tile size the persistent FORWARD kernel uses for this config —
+    the window replay must run at exactly this tile for bitwise accept
+    parity (fused_solve.run_attempt_tiles contract)."""
+    H = params["layer_0"]["b"].shape[0]
+    H_pad = -(-H // 128) * 128
+    F_pad = -(-F // 128) * 128
+    return _fwd_plan(B, F_pad, H_pad, n_save, use_reservoir, True)[0]
+
+
+def sweep_feasible(params, B: int, F: int, n_save: int,
+                   two_level: bool = False,
+                   use_reservoir: bool = False) -> bool:
     """Whether the persistent sweep kernel can run this configuration —
     the forward gates its PADDED knot recording on this (the XLA fallback
     sweep expects unpadded knots)."""
@@ -77,19 +115,64 @@ def sweep_feasible(params, B: int, F: int, n_save: int) -> bool:
     H = params["layer_0"]["b"].shape[0]
     H_pad = -(-H // 128) * 128
     F_pad = -(-F // 128) * 128
-    return _plan(B, F_pad, H_pad, n_save)[0] is not None
+    replay_tile = 0
+    if two_level:
+        replay_tile = _forward_tile(params, B, F, n_save, use_reservoir)
+        if replay_tile is None:
+            return False
+    return _plan(B, F_pad, H_pad, n_save, replay_tile or 0)[0] is not None
 
 
-def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
+def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
+                 n_dense, two_level, rtol, atol, max_steps, stride,
+                 dense_cap, tb_f):
     n_tiles = B // tb
     coeffs = _stage_coeffs()
+    ctrl = PIController()
+    inv_n = 1.0 / float(B * F_logical) if two_level else 0.0
+    n_tiles_f = B // tb_f if two_level else 0
 
-    def kernel(sc_ref, knot_ts_ref, saveat_ref, w1_ref, b1_ref, w1t_ref,
-               w2_ref, b2_ref, w2t_ref, ctys_ref, cty_ref,
-               knot_us_ref,
-               au_ref, ak_ref, dw1_ref, db1_ref, dw1t_ref, dw2_ref,
-               db2_ref, dw2t_ref,
-               stage_ref, sems):
+    def kernel(*refs):
+        it = iter(refs)
+        sc_ref = next(it)            # SMEM (1,) i32: naccept
+        knot_ts_ref = next(it)       # SMEM (n_dense,)
+        saveat_ref = next(it)        # SMEM (n_save,)
+        if two_level:
+            scf_ref = next(it)       # SMEM (1,) f32: t_end
+            ckpt_ts_ref = next(it)   # SMEM (n_ckpt,)
+            ckpt_dts_ref = next(it)
+            ckpt_qolds_ref = next(it)
+        w1_ref = next(it)
+        b1_ref = next(it)
+        w1t_ref = next(it)
+        w2_ref = next(it)
+        b2_ref = next(it)
+        w2t_ref = next(it)
+        ctys_ref = next(it)          # VMEM (n_save·B, F)
+        cty_ref = next(it)           # VMEM (B, F)
+        knot_us_ref = next(it)       # ANY (n_dense·B, F)
+        if two_level:
+            ckpt_us_ref = next(it)   # ANY (n_ckpt·B, F)
+            ckpt_ks_ref = next(it)   # ANY (n_ckpt·B, F)
+        au_ref = next(it)
+        ak_ref = next(it)
+        dw1_ref = next(it)
+        db1_ref = next(it)
+        dw1t_ref = next(it)
+        dw2_ref = next(it)
+        db2_ref = next(it)
+        dw2t_ref = next(it)
+        if two_level:
+            local_us_ref = next(it)  # ANY ((W+1)·B, F): replayed window
+        stage_ref = next(it)         # VMEM (2B, F)
+        if two_level:
+            u_work_ref = next(it)    # VMEM (B, F)
+            k1_work_ref = next(it)   # VMEM (B, F)
+            cand_u_ref = next(it)    # VMEM (B, F)
+            cand_k7_ref = next(it)   # VMEM (B, F)
+            local_ts_ref = next(it)  # SMEM (W+1,)
+        sems = next(it)              # DMA (4,)
+
         naccept = sc_ref[0]
 
         # ---- init carries and accumulators
@@ -102,30 +185,17 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
         db2_ref[:] = jnp.zeros_like(db2_ref)
         dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
 
-        def knot_dma(j, slot):
+        def knot_dma(src_ref, j, slot):
             return pltpu.make_async_copy(
-                knot_us_ref.at[pl.ds(j * B, B), :],
+                src_ref.at[pl.ds(j * B, B), :],
                 stage_ref.at[pl.ds(slot * B, B), :],
                 sems.at[slot],
             )
 
-        # warm-up: prefetch the last accepted step's start state
-        j0 = naccept - 1
-
-        @pl.when(j0 >= 0)
-        def _():
-            knot_dma(j0, j0 % 2).start()
-
-        def sweep(j, _):
-            slot = j % 2
-            knot_dma(j, slot).wait()
-
-            @pl.when(j - 1 >= 0)
-            def _():
-                knot_dma(j - 1, 1 - slot).start()
-
-            t = knot_ts_ref[j]
-            tn = knot_ts_ref[j + 1]
+        def sweep_step(t, tn, slot):
+            """Transpose ONE accepted step whose start state sits in
+            ``stage_ref`` slot ``slot``; carries a_u/a_k and accumulates
+            weight grads in place."""
             dt = tn - t
 
             # saveat-hit interpolation weights (scalars per (stage, save))
@@ -264,52 +334,200 @@ def _make_kernel(precision, grad_precision, B, F, tb, n_save, n_dense):
                 return 0
 
             lax.fori_loop(0, n_tiles, tile_pass, 0)
-            return 0
 
-        # reverse sweep j = naccept-1 .. 0 (fori counts up; map index)
-        def body(i, c):
-            return sweep(naccept - 1 - i, c)
+        def sweep_range(n_hi, read_ts, us_ref):
+            """Reverse-transpose steps j = n_hi-1 .. 0 whose start states
+            sit in rows [j·B, (j+1)·B) of ``us_ref`` (double-buffered)."""
+            j0 = n_hi - 1
 
-        lax.fori_loop(0, naccept, body, 0)
+            @pl.when(j0 >= 0)
+            def _():
+                knot_dma(us_ref, j0, j0 % 2).start()
+
+            def body(i, _):
+                j = n_hi - 1 - i
+                slot = j % 2
+                knot_dma(us_ref, j, slot).wait()
+
+                @pl.when(j - 1 >= 0)
+                def _():
+                    knot_dma(us_ref, j - 1, 1 - slot).start()
+
+                sweep_step(read_ts(j), read_ts(j + 1), slot)
+                return 0
+
+            lax.fori_loop(0, n_hi, body, 0)
+
+        if not two_level:
+            sweep_range(naccept, lambda j: knot_ts_ref[j], knot_us_ref)
+            return
+
+        # ---------------- two-level: branch per solve ----------------
+        t_end = scf_ref[0]
+        W = stride
+
+        @pl.when(naccept <= dense_cap)
+        def _():
+            sweep_range(naccept, lambda j: knot_ts_ref[j], knot_us_ref)
+
+        @pl.when(naccept > dense_cap)
+        def _():
+            def f_fwd(x, s):
+                return _eval_mlp(
+                    x, s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
+                    b2_ref[:], w2t_ref[:], precision,
+                )
+
+            def state_dma(hbm_ref, slot_i, vm_ref, sem_i):
+                return pltpu.make_async_copy(
+                    hbm_ref.at[pl.ds(slot_i * B, B), :], vm_ref,
+                    sems.at[sem_i],
+                )
+
+            def local_write(slot_i):
+                return pltpu.make_async_copy(
+                    u_work_ref, local_us_ref.at[pl.ds(slot_i * B, B), :],
+                    sems.at[2],
+                )
+
+            w_start = (naccept - 1) // W
+
+            def win_body(wi, _):
+                w = w_start - wi
+                base = w * W
+                n_steps = jnp.clip(naccept - base, 0, W)
+
+                # load checkpoint w (synchronous, once per window)
+                state_dma(ckpt_us_ref, w, u_work_ref, 2).start()
+                state_dma(ckpt_ks_ref, w, k1_work_ref, 3).start()
+                state_dma(ckpt_us_ref, w, u_work_ref, 2).wait()
+                state_dma(ckpt_ks_ref, w, k1_work_ref, 3).wait()
+                local_ts_ref[0] = ckpt_ts_ref[w]
+                local_write(0).start()
+                local_write(0).wait()
+
+                # ---- replay ≤W accepted steps (bitwise: forward's own
+                # tile code at the forward's tile size)
+                def rcond(c):
+                    i, att = c[0], c[1]
+                    return (i < n_steps) & (att < max_steps)
+
+                def rbody(c):
+                    i, att, t, dt, qold = c
+                    t_rem = t_end - t
+                    dt_c = jnp.minimum(dt, t_rem)
+                    is_last = dt >= t_rem
+                    t_new = jnp.where(is_last, t_end, t + dt_c)
+                    err_sq = run_attempt_tiles(
+                        f_fwd, u_work_ref, k1_work_ref, cand_u_ref,
+                        cand_k7_ref, t, dt_c, tb_f, n_tiles_f, atol, rtol,
+                    )
+                    eest = jnp.sqrt(err_sq * inv_n)
+                    accept = eest <= 1.0
+                    dt_acc, dt_rej, qold_acc = _propose(
+                        ctrl, eest, dt_c, qold
+                    )
+
+                    @pl.when(accept)
+                    def _():
+                        u_work_ref[:] = cand_u_ref[:]
+                        k1_work_ref[:] = cand_k7_ref[:]
+                        local_ts_ref[i + 1] = t_new
+                        local_write(i + 1).start()
+                        local_write(i + 1).wait()
+
+                    return (
+                        i + accept.astype(jnp.int32),
+                        att + 1,
+                        jnp.where(accept, t_new, t),
+                        jnp.where(accept, dt_acc, dt_rej),
+                        jnp.where(accept, qold_acc, qold),
+                    )
+
+                fin = lax.while_loop(
+                    rcond, rbody,
+                    (
+                        jnp.int32(0), jnp.int32(0), ckpt_ts_ref[w],
+                        ckpt_dts_ref[w], ckpt_qolds_ref[w],
+                    ),
+                )
+
+                # ---- sweep the replayed window. Sweep the count the
+                # replay ACTUALLY accepted (== n_steps when the replay is
+                # exact; an ulp-level accept flip must not sweep stale
+                # buffer slots).
+                sweep_range(
+                    jnp.minimum(fin[0], n_steps),
+                    lambda j: local_ts_ref[j], local_us_ref,
+                )
+                return 0
+
+            lax.fori_loop(0, w_start + 1, win_body, 0)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
-                n_dense, vmem_limit, interpret):
+def _build_call(precision, grad_precision, B, F, F_logical, H_pad, tb,
+                n_save, n_dense, two_level, rtol, atol, max_steps, stride,
+                dense_cap, tb_f, n_ckpt, vmem_limit, interpret):
     kernel = _make_kernel(
-        precision, grad_precision, B, F, tb, n_save, n_dense
+        precision, grad_precision, B, F, F_logical, tb, n_save, n_dense,
+        two_level, rtol, atol, max_steps, stride, dense_cap, tb_f,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
+
+    in_specs = [smem(), smem(), smem()]
+    if two_level:
+        in_specs += [smem(), smem(), smem(), smem()]
+    in_specs += [vmem()] * 6      # weights
+    in_specs += [vmem(), vmem()]  # ct_ys (n_save·B, F), ct_y
+    in_specs += [any_()]          # knot_us (n_dense·B, F)
+    if two_level:
+        in_specs += [any_(), any_()]  # ckpt_us, ckpt_ks
+
+    out_specs = [
+        vmem(), vmem(),
+        vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_u
+        jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_k
+        jax.ShapeDtypeStruct((F, H_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
+        jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
+        jax.ShapeDtypeStruct((H_pad, F), jnp.float32),
+        jax.ShapeDtypeStruct((1, F), jnp.float32),
+        jax.ShapeDtypeStruct((1, F), jnp.float32),
+    ]
+    if two_level:
+        # HBM scratch for the replayed window (outputs are the only way
+        # to get an HBM-resident buffer; the caller discards it)
+        out_specs.append(any_())
+        out_shape.append(
+            jax.ShapeDtypeStruct(((stride + 1) * B, F), jnp.float32)
+        )
+    scratch = [
+        pltpu.VMEM((2 * B, F), jnp.float32),
+    ]
+    if two_level:
+        scratch += [
+            pltpu.VMEM((B, F), jnp.float32),
+            pltpu.VMEM((B, F), jnp.float32),
+            pltpu.VMEM((B, F), jnp.float32),
+            pltpu.VMEM((B, F), jnp.float32),
+            pltpu.SMEM((stride + 1,), jnp.float32),
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((4,)))
 
     return pl.pallas_call(
         kernel,
-        in_specs=(
-            [smem(), smem(), smem()]
-            + [vmem()] * 6            # weights
-            + [vmem(), vmem()]        # ct_ys (n_save·B, F), ct_y
-            + [pl.BlockSpec(memory_space=pl.ANY)]  # knot_us (n_dense·B, F)
-        ),
-        out_specs=(
-            vmem(), vmem(),
-            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_u
-            jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_k
-            jax.ShapeDtypeStruct((F, H_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
-            jax.ShapeDtypeStruct((H_pad, F), jnp.float32),
-            jax.ShapeDtypeStruct((1, F), jnp.float32),
-            jax.ShapeDtypeStruct((1, F), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2 * B, F), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=tuple(in_specs),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             # sized to the plan estimate — see fused_solve on why not the
             # full physical VMEM
@@ -318,6 +536,36 @@ def _build_call(precision, grad_precision, B, F, H_pad, tb, n_save,
         ),
         interpret=interpret,
     )
+
+
+def _pad_inputs(params, ct_ys, ct_y, F, F_pad):
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
+    if F_pad != F:
+        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
+        ct_y_in = fpad(ct_y)
+        ct_ys_in = jnp.pad(ct_ys, ((0, 0), (0, 0), (0, F_pad - F)))
+        w1_in = jnp.pad(w1, ((0, F_pad - F), (0, 0)))
+        w2_in, b2_in, w2t_in = fpad(w2), fpad(b2), fpad(w2t)
+    else:
+        ct_y_in, ct_ys_in = ct_y, ct_ys
+        w1_in, w2_in, b2_in, w2t_in = w1, w2, b2, w2t
+    return (w1_in, b1, w1t, w2_in, b2_in, w2t_in), ct_ys_in, ct_y_in
+
+
+def _unpack_out(out, params, F, H_pad):
+    a_u, a_k, dw1, db1, dw1t, dw2, db2, dw2t = out[:8]
+    H = params["layer_0"]["b"].shape[0]  # unpadded hidden dim
+    d_params = {
+        "layer_0": {
+            "w": jnp.concatenate([dw1[:F, :H], dw1t[:, :H]], axis=0),
+            "b": db1[0, :H],
+        },
+        "layer_1": {
+            "w": jnp.concatenate([dw2[:H, :F], dw2t[:, :F]], axis=0),
+            "b": db2[0, :F],
+        },
+    }
+    return a_u[:, :F], a_k[:, :F], d_params
 
 
 def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
@@ -335,8 +583,7 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
     n_save = int(saveat_arr.shape[0])
     if n_save > _MAX_NSAVE:
         return None
-    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
-    H_pad = w1.shape[1]
+    H_pad = -(-params["layer_0"]["b"].shape[0] // 128) * 128
     # knots arrive PADDED from the persistent forward (lane-aligned DMA);
     # unpadded, non-lane-aligned knots (XLA-loop forward) can't be DMA'd
     # on real TPUs — decline to the XLA sweep (interpret mode is exempt)
@@ -348,39 +595,84 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
         return None
     n_dense = knot_us.shape[0]
 
-    if F_pad != F:
-        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
-        ct_y_in, ct_ys_in = fpad(ct_y), jnp.pad(
-            ct_ys, ((0, 0), (0, 0), (0, F_pad - F))
-        )
-        w1_in = jnp.pad(w1, ((0, F_pad - F), (0, 0)))
-        w2_in, b2_in, w2t_in = fpad(w2), fpad(b2), fpad(w2t)
-    else:
-        ct_y_in, ct_ys_in = ct_y, ct_ys
-        w1_in, w2_in, b2_in, w2t_in = w1, w2, b2, w2t
+    weights, ct_ys_in, ct_y_in = _pad_inputs(params, ct_ys, ct_y, F, F_pad)
 
     call = _build_call(
-        precision, grad_precision, B, F_pad, H_pad, tb, n_save, n_dense,
+        precision, grad_precision, B, F_pad, F, H_pad, tb, n_save, n_dense,
+        False, 0.0, 0.0, 0, 1, 0, 0, 0,
         int(vmem_est) + 6 * 1024 * 1024, _interpret(),
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     out = call(
         sc, jnp.asarray(knot_ts, jnp.float32),
         jnp.asarray(saveat_arr, jnp.float32),
-        w1_in, b1, w1t, w2_in, b2_in, w2t_in,
+        *weights,
         ct_ys_in.reshape(n_save * B, F_pad), ct_y_in,
         knot_us.reshape(n_dense * B, F_pad),
     )
-    a_u, a_k, dw1, db1, dw1t, dw2, db2, dw2t = out
-    H = params["layer_0"]["b"].shape[0]  # unpadded hidden dim
-    d_params = {
-        "layer_0": {
-            "w": jnp.concatenate([dw1[:F, :H], dw1t[:, :H]], axis=0),
-            "b": db1[0, :H],
-        },
-        "layer_1": {
-            "w": jnp.concatenate([dw2[:H, :F], dw2t[:, :F]], axis=0),
-            "b": db2[0, :F],
-        },
-    }
-    return a_u[:, :F], a_k[:, :F], d_params
+    return _unpack_out(out, params, F, H_pad)
+
+
+def persistent_two_level_sweep(params, knot_ts, knot_us, naccept,
+                               saveat_arr, ct_ys, ct_y,
+                               ckpt_ts, ckpt_us, ckpt_ks, ckpt_dts,
+                               ckpt_qolds, *, t_end, rtol, atol, max_steps,
+                               stride, dense_cap, use_reservoir=False,
+                               precision=None, grad_precision=None,
+                               _return_locals=False):
+    """Two-level stored-adjoint sweep: dense when the solve fits, windowed
+    in-kernel replay from the forward's checkpoints otherwise (branch
+    taken per solve, in-kernel). Same return contract / decline behavior
+    as ``persistent_stored_sweep``.
+
+    ONLY valid when the forward was the persistent kernel — the replay
+    reproduces ITS arithmetic (``fused_solve.run_attempt_tiles`` at the
+    forward's tile size), not the XLA loop's.
+    """
+    B, F = ct_y.shape
+    n_save = int(saveat_arr.shape[0])
+    if n_save > _MAX_NSAVE:
+        return None
+    H_pad = -(-params["layer_0"]["b"].shape[0] // 128) * 128
+    F_pad = knot_us.shape[-1]
+    if F_pad % 128 != 0 and not _interpret():
+        return None
+    tb_f = _forward_tile(params, B, F, n_save, use_reservoir)
+    if tb_f is None:
+        return None
+    tb, vmem_est = _plan(B, F_pad, H_pad, n_save, replay_tile=tb_f)
+    if tb is None:
+        return None
+    n_dense = knot_us.shape[0]
+    n_ckpt = ckpt_us.shape[0]
+
+    weights, ct_ys_in, ct_y_in = _pad_inputs(params, ct_ys, ct_y, F, F_pad)
+
+    call = _build_call(
+        precision, grad_precision, B, F_pad, F, H_pad, tb, n_save, n_dense,
+        True, float(rtol), float(atol), int(max_steps), int(stride),
+        int(dense_cap), tb_f, n_ckpt,
+        int(vmem_est) + 6 * 1024 * 1024, _interpret(),
+    )
+    sc = jnp.asarray(naccept, jnp.int32)[None]
+    scf = jnp.asarray(t_end, jnp.float32)[None]
+    out = call(
+        sc, jnp.asarray(knot_ts, jnp.float32),
+        jnp.asarray(saveat_arr, jnp.float32),
+        scf,
+        jnp.asarray(ckpt_ts, jnp.float32),
+        jnp.asarray(ckpt_dts, jnp.float32),
+        jnp.asarray(ckpt_qolds, jnp.float32),
+        *weights,
+        ct_ys_in.reshape(n_save * B, F_pad), ct_y_in,
+        knot_us.reshape(n_dense * B, F_pad),
+        ckpt_us.reshape(n_ckpt * B, F_pad),
+        ckpt_ks.reshape(n_ckpt * B, F_pad),
+    )
+    if _return_locals:
+        # debug/test hook: the HBM window-replay buffer after the LAST
+        # (w=0) window — lets tests assert replay fidelity directly
+        return _unpack_out(out, params, F, H_pad), out[8].reshape(
+            stride + 1, B, F_pad
+        )
+    return _unpack_out(out, params, F, H_pad)

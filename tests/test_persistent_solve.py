@@ -306,6 +306,217 @@ def test_persistent_sweep_matches_xla_sweep():
     )
 
 
+def test_ckpt_recording_matches_dense_knots():
+    """Two-level forward: every W-th checkpoint must BITWISE equal the
+    dense knot at the same accepted-step index (same DMA'd state), and
+    carry the controller state (dt_next, qold) for replay."""
+    td, ps, st, x = _setup(seed=2)
+    full = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=jnp.asarray([1.0]), max_steps=64, record_knots=True,
+    )
+    W = 4
+    tl = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=RTOL, atol=ATOL,
+        saveat_arr=jnp.asarray([1.0]), max_steps=64, record_knots=True,
+        knot_dense_cap=4, knot_stride=W, record_ks=False,
+    )
+    n = int(full["naccept"])
+    assert int(tl["naccept"]) == n
+    assert tl["knot_ks"] is None  # record_ks=False skips the k-stream
+    np.testing.assert_array_equal(
+        np.asarray(full["y_final"]), np.asarray(tl["y_final"])
+    )
+    kt, ct = np.asarray(full["knot_ts"]), np.asarray(tl["ckpt_ts"])
+    ku, cu = np.asarray(full["knot_us"]), np.asarray(tl["ckpt_us"])
+    kk, ck = np.asarray(full["knot_ks"]), np.asarray(tl["ckpt_ks"])
+    for ci in range(n // W + 1):
+        i = ci * W
+        assert kt[i] == ct[ci]
+        np.testing.assert_array_equal(ku[i], cu[ci])
+        np.testing.assert_array_equal(kk[i], ck[ci])
+    # slot 0 carries the initial controller state
+    assert float(tl["ckpt_dts"][0]) > 0.0
+
+
+def test_two_level_sweep_matches_dense_sweep():
+    """The windowed in-kernel replay sweep vs the dense sweep on the SAME
+    solve (same forward kernel, same cotangents). In interpret mode the
+    replay can drift by ulps vs the recorded trajectory (two separately
+    compiled programs), so tolerances are relative; on TPU the replay
+    runs the forward kernel's own tile code."""
+    from localregneuralde_tpu.ops.pallas.fused_solve_bwd import (
+        persistent_stored_sweep,
+        persistent_two_level_sweep,
+    )
+
+    td, ps, st, x = _setup(seed=4)
+    rt = 1e-6
+    saveat = jnp.asarray([0.37, 1.0])
+    full = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=rt, atol=rt,
+        saveat_arr=saveat, max_steps=64, record_knots=True,
+    )
+    n = int(full["naccept"])
+    DC, W = 4, 5
+    assert n > DC  # the windowed branch must fire
+    tl = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=rt, atol=rt,
+        saveat_arr=saveat, max_steps=64, record_knots=True,
+        knot_dense_cap=DC, knot_stride=W, record_ks=False,
+    )
+    ct_ys = jax.random.normal(jax.random.PRNGKey(3), (2, B, F))
+    ct_y = jax.random.normal(jax.random.PRNGKey(4), (B, F))
+    dense = persistent_stored_sweep(
+        ps, full["knot_ts"], full["knot_us"], full["naccept"], saveat,
+        ct_ys, ct_y,
+    )
+    win = persistent_two_level_sweep(
+        ps, tl["knot_ts"], tl["knot_us"], tl["naccept"], saveat, ct_ys,
+        ct_y, tl["ckpt_ts"], tl["ckpt_us"], tl["ckpt_ks"], tl["ckpt_dts"],
+        tl["ckpt_qolds"], t_end=1.0, rtol=rt, atol=rt, max_steps=64,
+        stride=W, dense_cap=DC,
+    )
+    assert win is not None
+    from jax.flatten_util import ravel_pytree
+
+    for a, b in zip(dense[:2], win[:2]):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-6)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-2 * scale
+        )
+    fa, _ = ravel_pytree(dense[2])
+    fb, _ = ravel_pytree(win[2])
+    np.testing.assert_allclose(
+        np.asarray(fb), np.asarray(fa),
+        atol=2e-2 * float(jnp.max(jnp.abs(fa))),
+    )
+
+    # a SHORT solve through the same two-level kernel takes the dense
+    # branch in-kernel and must match the dense sweep near-exactly
+    short = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=1e-3, atol=1e-3,
+        saveat_arr=saveat, max_steps=64, record_knots=True,
+        knot_dense_cap=16, knot_stride=W, record_ks=False,
+    )
+    assert int(short["naccept"]) <= 16
+    full_s = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=1e-3, atol=1e-3,
+        saveat_arr=saveat, max_steps=64, record_knots=True,
+    )
+    dense_s = persistent_stored_sweep(
+        ps, full_s["knot_ts"], full_s["knot_us"], full_s["naccept"],
+        saveat, ct_ys, ct_y,
+    )
+    win_s = persistent_two_level_sweep(
+        ps, short["knot_ts"], short["knot_us"], short["naccept"], saveat,
+        ct_ys, ct_y, short["ckpt_ts"], short["ckpt_us"], short["ckpt_ks"],
+        short["ckpt_dts"], short["ckpt_qolds"], t_end=1.0, rtol=1e-3,
+        atol=1e-3, max_steps=64, stride=W, dense_cap=16,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(win_s[0]), np.asarray(dense_s[0])
+    )
+
+
+def test_two_level_replay_fidelity():
+    """The in-kernel window replay's states vs the true (dense-recorded)
+    trajectory — drift must stay at rounding-noise level."""
+    from localregneuralde_tpu.ops.pallas.fused_solve_bwd import (
+        persistent_two_level_sweep,
+    )
+
+    td, ps, st, x = _setup(seed=1)
+    rt = 1e-6
+    saveat = jnp.asarray([1.0])
+    full = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=rt, atol=rt, saveat_arr=saveat,
+        max_steps=64, record_knots=True,
+    )
+    n = int(full["naccept"])
+    DC, W = 4, 64  # one window covering the whole solve
+    tl = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=rt, atol=rt, saveat_arr=saveat,
+        max_steps=64, record_knots=True, knot_dense_cap=DC, knot_stride=W,
+        record_ks=False,
+    )
+    assert n > DC
+    ct_ys = jnp.zeros((1, B, F))
+    ct_y = jnp.ones((B, F))
+    _, locals_ = persistent_two_level_sweep(
+        ps, tl["knot_ts"], tl["knot_us"], tl["naccept"], saveat, ct_ys,
+        ct_y, tl["ckpt_ts"], tl["ckpt_us"], tl["ckpt_ks"], tl["ckpt_dts"],
+        tl["ckpt_qolds"], t_end=1.0, rtol=rt, atol=rt, max_steps=64,
+        stride=W, dense_cap=DC, _return_locals=True,
+    )
+    ku = np.asarray(full["knot_us"])
+    lu = np.asarray(locals_)
+    np.testing.assert_array_equal(ku[0], lu[0])  # checkpoint itself
+    for i in range(1, n + 1):
+        drift = np.max(np.abs(ku[i] - lu[i]))
+        assert drift < 5e-2, (i, drift)
+
+
+def test_two_level_end_to_end_neural_ode():
+    """NeuralODE with max_steps > knot_window: the persistent path must
+    SERVE the two-level regime (the round-2 gap: it declined, and the
+    reference's maxiters=10k configs fell back to the XLA loops), with
+    gradients matching the dense persistent configuration."""
+    from jax.flatten_util import ravel_pytree
+
+    td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(2), (B, F))
+
+    def build(kw):
+        node = NeuralODE(
+            td, regularize="unbiased", rtol=1e-6, atol=1e-6, max_steps=64,
+            use_pallas=True, use_persistent=True, knot_window=kw,
+        )
+        return Chain(
+            neural_ode=node,
+            sol_to_arr=WrappedFunction(diffeqsol_to_array),
+            classifier=Dense(F, 10),
+        )
+
+    m_dense = build(None)   # dense_cap = max_steps: single-level
+    m_two = build(4)        # dense_cap 4 < max_steps: two-level
+    params, state = m_dense.init(jax.random.PRNGKey(0))
+
+    # the two-level persistent plan must be offered
+    node_two = m_two.layers["neural_ode"]
+    pf = node_two._persistent_fn()
+    assert pf is not None
+    assert pf(
+        x, (0.0, 1.0), {"model": params["neural_ode"]["model"]},
+        saveat_arr=jnp.asarray([1.0]), rtol=1e-6, atol=1e-6, max_steps=64,
+        record_knots=True, knot_dense_cap=4, knot_stride=8,
+        reservoir_key=None, dt0=None, f_state=None, plan_only=True,
+    )
+
+    def lossfn(m):
+        def run(p):
+            y, st_ = m(p, state, x, training=True)
+            return jnp.sum(y**2) + 10.0 * st_["neural_ode"]["reg_val"], st_
+
+        return run
+
+    (l_d, st_d), g_d = jax.value_and_grad(lossfn(m_dense), has_aux=True)(
+        params
+    )
+    (l_t, st_t), g_t = jax.value_and_grad(lossfn(m_two), has_aux=True)(
+        params
+    )
+    # identical forward (same persistent kernel trajectory)
+    np.testing.assert_allclose(float(l_d), float(l_t), rtol=1e-6)
+    assert int(st_d["neural_ode"]["nfe"]) == int(st_t["neural_ode"]["nfe"])
+    fd, _ = ravel_pytree(g_d)
+    ft, _ = ravel_pytree(g_t)
+    scale = float(jnp.max(jnp.abs(fd)))
+    np.testing.assert_allclose(
+        np.asarray(ft), np.asarray(fd), atol=5e-3 * scale
+    )
+
+
 def test_odd_batch_falls_back_gracefully():
     """B not divisible by any tile: the persistent plan declines and the
     XLA loop serves the solve — no error, correct output."""
