@@ -31,6 +31,10 @@ class SolverConfig:
     # program; automatic fallback outside the dense-knot regime) — only
     # effective when the Pallas kernel family is active
     use_persistent: bool = True
+    # stored-adjoint dense-knot capacity (0 = default 512): solves with
+    # more accepted steps use two-level windowed replay — memory is
+    # O(knot_window + max_steps/sqrt(max_steps))
+    knot_window: int = 0
 
 
 @dataclass

@@ -50,9 +50,15 @@ class SDESolution:
     f_state: Any
     g_state: Any
     # dense forward storage for the stored adjoint (None unless
-    # record_knots=True): knot i = (t_i, u_i) at accepted-step boundaries
+    # record_knots=True): knot i = (t_i, u_i) at accepted-step boundaries,
+    # plus the Brownian increments (dW_i, dZ_i) of accepted step i — the
+    # backward consumes the RECORDED noise instead of re-descending the
+    # tree twice per step (bitwise-identical: the tree is a pure function
+    # of (key, t), these are the very values the forward used)
     knot_ts: Any = None
     knot_us: Any = None
+    knot_dws: Any = None
+    knot_dzs: Any = None
 
 
 @pytree_dataclass
@@ -76,6 +82,8 @@ class _SDELoopState:
     g_st: Any
     knot_ts: Any
     knot_us: Any
+    knot_dws: Any
+    knot_dzs: Any
 
 
 def _wrap_stateless(fn: Callable) -> Callable:
@@ -191,8 +199,11 @@ def sdesolve(
     if record_knots:
         knot_ts0 = jnp.full((max_steps + 1,), t_end, dtype).at[0].set(t0)
         knot_us0 = jnp.zeros((max_steps + 1,) + u0.shape, u0.dtype).at[0].set(u0)
+        knot_dws0 = jnp.zeros((max_steps,) + w_shape, dtype)
+        knot_dzs0 = jnp.zeros((max_steps,) + w_shape, dtype)
     else:
         knot_ts0 = knot_us0 = None
+        knot_dws0 = knot_dzs0 = None
 
     state0 = _SDELoopState(
         t=t0,
@@ -214,6 +225,8 @@ def sdesolve(
         g_st=g_state,
         knot_ts=knot_ts0,
         knot_us=knot_us0,
+        knot_dws=knot_dws0,
+        knot_dzs=knot_dzs0,
     )
 
     nf_step, ng_step = {
@@ -293,8 +306,16 @@ def sdesolve(
             knot_us_n = s.knot_us.at[ki].set(
                 jnp.where(upd, res.u_new, s.knot_us[ki])
             )
+            # accepted step j spans knots j -> j+1; its increments land at j
+            knot_dws_n = s.knot_dws.at[s.naccept].set(
+                jnp.where(upd, dW, s.knot_dws[s.naccept])
+            )
+            knot_dzs_n = s.knot_dzs.at[s.naccept].set(
+                jnp.where(upd, dZ, s.knot_dzs[s.naccept])
+            )
         else:
             knot_ts_n = knot_us_n = None
+            knot_dws_n = knot_dzs_n = None
 
         where = lambda a, b: jax.tree_util.tree_map(  # noqa: E731
             lambda x, y: jnp.where(upd, x, y), a, b
@@ -319,6 +340,8 @@ def sdesolve(
             g_st=where(res.g_state, s.g_st),
             knot_ts=knot_ts_n,
             knot_us=knot_us_n,
+            knot_dws=knot_dws_n,
+            knot_dzs=knot_dzs_n,
         )
 
     if adjoint == "none":
@@ -362,4 +385,6 @@ def sdesolve(
         g_state=final.g_st,
         knot_ts=final.knot_ts,
         knot_us=final.knot_us,
+        knot_dws=final.knot_dws,
+        knot_dzs=final.knot_dzs,
     )

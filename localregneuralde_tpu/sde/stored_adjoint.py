@@ -4,9 +4,11 @@ Mirror of ``ode/stored_adjoint.py`` for the stochastic stack: the forward is
 the early-exit ``while_loop`` recording ``(t, u)`` knots at accepted-step
 boundaries; the backward is a reverse ``while_loop`` over ONLY the
 ``naccept`` recorded steps, transposing one SRI/Milstein/Euler–Heun step per
-iteration via ``jax.vjp``. The Brownian increments are *recomputed* from the
-virtual Brownian tree (a pure function of (key, t), so the backward sees
-exactly the forward's noise) and never differentiated. Saveat cotangents
+iteration via ``jax.vjp``. The Brownian increments are RECORDED by the
+forward at accepted steps and consumed directly (bitwise the values the
+forward used — the tree is a pure function of (key, t), so this equals
+re-descending it, minus two 24-level descents per step) and never
+differentiated. Saveat cotangents
 split linearly (the forward's RODESolution-style interpolation):
 ``y_s = u + θ(u_new − u)`` ⇒ ``d_u += (1−θ)·ct``, ``d_u_new += θ·ct``.
 
@@ -27,7 +29,6 @@ import jax.numpy as jnp
 from jax import lax
 from jax.flatten_util import ravel_pytree
 
-from .brownian import VirtualBrownianTree
 from .solve import SDESolution, sdesolve
 from .step import (
     lamba_euler_heun_step,
@@ -81,12 +82,6 @@ def stored_sdesolve(
     def gn_st(u, t, p_, st):
         return gn(u, t, p_), st
 
-    w_shape = tuple(noise_shape) if noise_shape is not None else u0.shape
-    tree = VirtualBrownianTree(
-        noise_key, t0, t_end, w_shape,
-        jnp.result_type(u0.dtype, jnp.float32), depth=brownian_depth,
-    )
-
     solve_kwargs = dict(
         noise_key=noise_key, rtol=rtol, atol=atol, solver=solver,
         delta=delta, max_steps=max_steps, brownian_depth=brownian_depth,
@@ -137,11 +132,13 @@ def stored_sdesolve(
 
     def core_fwd(u0, p, saveat_arr):
         sol = run_solve(u0, p, saveat_arr)
-        res = (u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.naccept)
+        res = (u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_dws,
+               sol.knot_dzs, sol.naccept)
         return outputs(sol), res
 
     def core_bwd(res, cts):
-        u0, p, saveat_arr, knot_ts, knot_us, naccept = res
+        (u0, p, saveat_arr, knot_ts, knot_us, knot_dws, knot_dzs,
+         naccept) = res
         # aux outputs are gradient-fenced: only ys / y_final cotangents flow
         ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
@@ -152,10 +149,8 @@ def stored_sdesolve(
             tn = knot_ts[j + 1]
             dt = tn - t
             u = knot_us[j]
-            w0, z0 = tree.wz(t)
-            w1, z1 = tree.wz(tn)
-            dW = lax.stop_gradient(w1 - w0)
-            dZ = lax.stop_gradient(z1 - z0)
+            dW = lax.stop_gradient(knot_dws[j])
+            dZ = lax.stop_gradient(knot_dzs[j])
 
             # linear saveat interpolation cotangent split
             theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
