@@ -115,6 +115,8 @@ def _construct_mlp_ode(cfg: ExperimentConfig):
 def _construct_mlp_sde(cfg: ExperimentConfig):
     """784 → 32 downsample → NeuralDSDE → classifier
     (reference ``construct.jl:202-210``)."""
+    import jax
+
     from ..models.neural_sde import NeuralDSDE
 
     m = cfg.model
@@ -123,6 +125,12 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
     noise_dims = m.sde_noise_dims or None
     drift = Chain(Dense(32, 64, "tanh"), Dense(64, 32))
     diffusion = Dense(32, 32 * (noise_dims or 1))
+    if m.use_pallas == "on":
+        use_pallas = True
+    elif m.use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = False
     return Chain(
         flatten=Flatten(),
         downsample=Dense(insize, 32),
@@ -138,6 +146,8 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
             precision=s.precision,
             solver=m.sde_solver,
             noise_dims=noise_dims,
+            use_pallas=use_pallas,
+            use_persistent=s.use_persistent,
         ),
         sol_to_arr=WrappedFunction(diffeqsol_to_array),
         classifier=Dense(32, m.num_classes),

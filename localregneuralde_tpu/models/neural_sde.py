@@ -59,6 +59,8 @@ class NeuralDSDE(Module):
         delta: float = 1 / 6,
         noise_dims: Optional[int] = None,
         precision: str = "auto",
+        use_pallas: bool = False,
+        use_persistent: bool = True,
     ):
         if isinstance(regularize, bool):
             regularize = "unbiased" if regularize else "none"
@@ -83,9 +85,84 @@ class NeuralDSDE(Module):
         self.solver = solver
         self.delta = float(delta)
         self.noise_dims = None if noise_dims is None else int(noise_dims)
+        self.use_pallas = use_pallas
+        self.use_persistent = use_persistent
         from ..nn.basic import resolve_solver_precision
 
         self.mm_precision = resolve_solver_precision(precision, self.rtol)
+
+    def _is_fused_family(self):
+        """Structural check for the kernel's architecture: drift =
+        Chain(Dense(F,H,tanh), Dense(H,F)), diffusion = Dense(F,F) —
+        parameter SHAPES alone can't distinguish activations."""
+        import jax.numpy as _jnp
+
+        from ..nn.basic import Chain as _Chain
+        from ..nn.basic import Dense as _Dense
+
+        d, g = self.drift, self.diffusion
+        if not (isinstance(d, _Chain) and len(d.layers) == 2):
+            return False
+        l0, l1 = list(d.layers.values())
+        if not all(isinstance(x, _Dense) for x in (l0, l1, g)):
+            return False
+        if not (l0.use_bias and l1.use_bias and g.use_bias):
+            return False
+        if l0.activation is not _jnp.tanh:
+            return False
+        # output layers must be affine (identity activation)
+        probe = _jnp.asarray([-2.0, 3.0])
+        for lyr in (l1, g):
+            if not bool((lyr.activation(probe) == probe).all()):
+                return False
+        return True
+
+    def _persistent_fn(self):
+        """Whole-solve persistent SDE kernel (fused_sde_solve.py): serves
+        non-differentiated solves of the plain-MLP drift + Dense diffusion
+        family (construct.jl:202-210). The kernel generates its own
+        Brownian noise (TPU PRNG — different realization, same law) and
+        records (u, dW, dZ) knots; the stored backward consumes the
+        records, so gradients are exact for the realized trajectory."""
+        if not (
+            self.use_pallas and self.use_persistent
+            and self.solver in ("sri", "sosri")
+            and self.noise_dims is None
+            and self._is_fused_family()
+        ):
+            return None
+        from ..ops.pallas.fused_sde_solve import persistent_sde_solve
+        from ..sde.solve import SDESolution
+
+        prec = self.mm_precision
+
+        def pf(u0, tspan, p, *, noise_key, saveat_arr, rtol, atol, solver,
+               delta, max_steps, record_knots, reservoir_key,
+               brownian_depth, dt0, f_state, g_state):
+            out = persistent_sde_solve(
+                p, u0, tspan, noise_key=noise_key, rtol=rtol, atol=atol,
+                solver=solver, delta=delta, saveat_arr=saveat_arr,
+                max_steps=max_steps, record_knots=record_knots,
+                reservoir_key=reservoir_key, brownian_depth=brownian_depth,
+                precision=prec, dt0=dt0,
+            )
+            if out is None:
+                return None
+            # the fused family is stateless (Dense layers): threading
+            # f/g state through the trajectory is the identity
+            return SDESolution(
+                ts=saveat_arr, ys=out["ys"], t_final=out["t_final"],
+                y_final=out["y_final"], nfe_drift=out["nfe_drift"],
+                nfe_diffusion=out["nfe_diffusion"],
+                naccept=out["naccept"], nreject=out["nreject"],
+                success=out["success"], reservoir_t=out["reservoir_t"],
+                reservoir_u=out["reservoir_u"], f_state=f_state,
+                g_state=g_state, knot_ts=out["knot_ts"],
+                knot_us=out["knot_us"], knot_dws=out["knot_dws"],
+                knot_dzs=out["knot_dzs"],
+            )
+
+        return pf
 
     def init(self, key):
         dk, gk, sk = jax.random.split(key, 3)
@@ -151,6 +228,7 @@ class NeuralDSDE(Module):
             f_state=state["drift"],
             g_state=state["diffusion"],
             noise_shape=noise_shape,
+            persistent_fn=self._persistent_fn(),
         )
 
         if mode == "none":

@@ -59,6 +59,7 @@ def stored_sdesolve(
     reservoir_key=None,
     brownian_depth: int = 24,
     noise_shape: Optional[tuple] = None,
+    persistent_fn=None,
 ) -> SDESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
     if saveat is None:
@@ -116,7 +117,8 @@ def stored_sdesolve(
         return sdesolve(
             f, g, u0_, (t0, t_end), p_, saveat=saveat_, adjoint="none",
             record_knots=True, stateful=stateful, f_state=f_state,
-            g_state=g_state, reservoir_key=reservoir_key, **solve_kwargs,
+            g_state=g_state, reservoir_key=reservoir_key,
+            persistent_fn=persistent_fn, **solve_kwargs,
         )
 
     def outputs(sol):
@@ -148,9 +150,13 @@ def stored_sdesolve(
             t = knot_ts[j]
             tn = knot_ts[j + 1]
             dt = tn - t
-            u = knot_us[j]
-            dW = lax.stop_gradient(knot_dws[j])
-            dZ = lax.stop_gradient(knot_dzs[j])
+            # the persistent forward records knots PADDED to the 128
+            # lane (fused_sde_solve.py); slice per step — pads are exact
+            # zeros and never enter the transpose
+            u = knot_us[j][..., : u0.shape[-1]]
+            nw = u0.shape[-1] if noise_shape is None else noise_shape[-1]
+            dW = lax.stop_gradient(knot_dws[j][..., :nw])
+            dZ = lax.stop_gradient(knot_dzs[j][..., :nw])
 
             # linear saveat interpolation cotangent split
             theta = jnp.clip((saveat_arr - t) / dt, 0.0, 1.0)
