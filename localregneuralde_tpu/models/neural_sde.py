@@ -94,9 +94,11 @@ class NeuralDSDE(Module):
     def _is_fused_family(self):
         """Structural check for the kernel's architecture: drift =
         Chain(Dense(F,H,tanh), Dense(H,F)), diffusion = Dense(F,F) —
-        parameter SHAPES alone can't distinguish activations."""
+        parameter SHAPES alone can't distinguish activations. Pure-Python
+        identity checks only (this runs inside traced contexts)."""
         import jax.numpy as _jnp
 
+        from ..nn.basic import _ACTIVATIONS
         from ..nn.basic import Chain as _Chain
         from ..nn.basic import Dense as _Dense
 
@@ -111,9 +113,9 @@ class NeuralDSDE(Module):
         if l0.activation is not _jnp.tanh:
             return False
         # output layers must be affine (identity activation)
-        probe = _jnp.asarray([-2.0, 3.0])
+        ident = (_ACTIVATIONS[None], _ACTIVATIONS["identity"])
         for lyr in (l1, g):
-            if not bool((lyr.activation(probe) == probe).all()):
+            if not any(lyr.activation is f for f in ident):
                 return False
         return True
 

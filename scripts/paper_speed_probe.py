@@ -70,18 +70,79 @@ def run(use_persistent, steps, max_steps):
     )
 
 
+def run_interleaved(steps, max_steps):
+    """Relay-fair A/B: BOTH train states advance in the same loop, steps
+    alternating — order effects (relay warm-up, allocator state) hit both
+    arms equally. This is the honest protocol; sequential arms measured a
+    spurious ±30% order effect (run 1 vs run 2 of this script)."""
+    arms = {}
+    for name, up in (("persistent", True), ("xla", False)):
+        cfg = make_cfg("unbiased", steps, max_steps)
+        cfg.model.solver.use_persistent = up
+        model = construct_model(cfg)
+        loss_fn, w_sched = construct_loss(cfg)
+        optimizer, _ = construct_optimizer(cfg)
+        ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+        arms[name] = dict(
+            ts=ts, step=make_train_step(model, loss_fn, optimizer),
+            w=w_sched, times=[], nfes=[],
+        )
+
+    x_train, y_train, *_ = synthetic_classification(
+        (28, 28), 1, 10, n_train=8192, n_test=64, seed=0
+    )
+    y_oh = one_hot(y_train, 10)
+    rng = np.random.RandomState(1234)
+    for step in range(1, steps + 1):
+        idx = rng.randint(0, len(x_train), 512)
+        xb, yb = jnp.asarray(x_train[idx]), jnp.asarray(y_oh[idx])
+        order = ("persistent", "xla") if step % 2 else ("xla", "persistent")
+        for name in order:
+            a = arms[name]
+            t0 = time.time()
+            a["ts"], loss, stats = a["step"](
+                a["ts"], (xb, yb), float(a["w"](step)), 1e-3
+            )
+            _ = float(loss)
+            el = time.time() - t0
+            if step > 5:
+                a["times"].append(el)
+                a["nfes"].append(int(stats["nfe"]))
+        if step % 10 == 0:
+            print(
+                f"  {step}: "
+                + " ".join(
+                    f"{n}={arms[n]['times'][-1]*1e3:.1f}ms" for n in arms
+                ),
+                flush=True,
+            )
+    out = {}
+    for name, a in arms.items():
+        med = float(np.median(a["times"]))
+        out[name] = dict(
+            median_step_s=med, mean_nfe=float(np.mean(a["nfes"])),
+            nfe_per_s=float(np.mean(a["nfes"])) / med,
+            steps_measured=len(a["times"]),
+        )
+    return out
+
+
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     max_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
-    arms = sys.argv[3].split(",") if len(sys.argv) > 3 else ["p", "x"]
-    out = {}
-    for a in arms:
-        up = a == "p"
-        print(f"=== {'persistent' if up else 'xla'} max_steps={max_steps} ===",
-              flush=True)
-        t0 = time.time()
-        out["persistent" if up else "xla"] = run(up, steps, max_steps)
-        print(f"  arm wall (incl compile): {time.time()-t0:.0f}s", flush=True)
+    mode = sys.argv[3] if len(sys.argv) > 3 else "interleave"
+    if mode == "interleave":
+        out = run_interleaved(steps, max_steps)
+    else:
+        out = {}
+        for a in mode.split(","):
+            up = a == "p"
+            print(f"=== {'persistent' if up else 'xla'} "
+                  f"max_steps={max_steps} ===", flush=True)
+            t0 = time.time()
+            out["persistent" if up else "xla"] = run(up, steps, max_steps)
+            print(f"  arm wall (incl compile): {time.time()-t0:.0f}s",
+                  flush=True)
     if len(out) == 2:
         out["speedup"] = out["xla"]["median_step_s"] / out[
             "persistent"]["median_step_s"]
