@@ -67,14 +67,27 @@ def _run_training_bench(train_step, ts, make_batch, w_reg, n_trials,
     return _trimmed_median(rates), rates
 
 
-def _batch_maker(batch, image_shape):
-    def make(i):
-        k = jax.random.PRNGKey(17 + i)
-        x = jax.random.uniform(k, (batch,) + image_shape, jnp.float32)
+def _batch_maker(batch, image_shape, n_distinct=8):
+    """Pregenerated pool of device-resident batches, cycled per trial.
+    Per-iteration DEVICE-side generation measured catastrophic through the
+    relay (a dispatch per draw); reusing pool batches is still honest —
+    params evolve every step, so no (executable, inputs) pair repeats and
+    relay memoization cannot fire."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    pool = []
+    for _ in range(n_distinct):
+        x = jnp.asarray(
+            rng.rand(batch, *image_shape).astype("float32")
+        )
         y = jnp.eye(10, dtype=jnp.float32)[
-            jax.random.randint(k, (batch,), 0, 10)
+            jnp.asarray(rng.randint(0, 10, size=batch))
         ]
-        return x, y
+        pool.append((x, y))
+
+    def make(i):
+        return pool[(i // N_ITERS) % n_distinct]
 
     return make
 
@@ -176,7 +189,11 @@ def main():
     try:
         m2, l2, n2 = _flagship_sde()
         sde_rate, _ = _bench(m2, l2, n2, n_trials=4, n_iters=30)
-    except Exception:
+    except Exception as e:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         sde_rate = None
 
     # ---- the reference's exact tolerance (1.4e-8, maxiters 10k,
@@ -184,7 +201,11 @@ def main():
     try:
         m3, l3, n3 = _flagship_ode(1.4e-8, 10000)
         paper_rate, _ = _bench(m3, l3, n3, n_trials=3, n_iters=10)
-    except Exception:
+    except Exception as e:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         paper_rate = None
 
     baseline_path = os.path.join(

@@ -37,6 +37,7 @@ Reference parity: replaces StochasticDiffEq's integrator loop for the
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -107,8 +108,13 @@ def _norm_icdf(p):
 
 
 def _bits_to_uniform(bits):
-    """u32 → f32 uniform in (0,1): 24-bit mantissa, half-ulp centered."""
-    return (bits >> 8).astype(jnp.float32) * (2.0 ** -24) + 2.0 ** -25
+    """i32 random bits → f32 uniform in (0,1): 24-bit mantissa, half-ulp
+    centered. Mosaic has no u32→f32 cast, so bits arrive as int32: the
+    arithmetic >> 8 then & 0xFFFFFF equals the logical shift's low 24
+    bits (sign-extension lands only in bits 24..31, which the mask
+    kills), and int32→f32 is supported."""
+    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24) \
+        + 2.0 ** -25
 
 
 def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
@@ -120,7 +126,7 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
     )
     record = n_knot > 0
     inv_n = 1.0 / float(B * F_logical)
-    sqrt3 = float(jnp.sqrt(3.0))
+    sqrt3 = math.sqrt(3.0)
 
     def kernel(*refs):
         it = iter(refs)
@@ -190,7 +196,7 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
                 return jax.random.normal(k, (2 * B, F), jnp.float32)
             pltpu.prng_seed(s)
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((2 * B, F)), jnp.uint32
+                pltpu.prng_random_bits((2 * B, F)), jnp.int32
             )
             return _norm_icdf(_bits_to_uniform(bits))
 

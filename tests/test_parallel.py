@@ -222,3 +222,64 @@ def test_sharded_step_accepts_arbitrary_data_pytrees():
     )
     ts, loss, stats = step(ts, batch, (1.0, 0.1), 1e-3)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_step_with_pallas_kernels_is_correct():
+    """Pallas x GSPMD interaction (round-2 verdict gap): a data-sharded
+    train step with use_pallas=True must produce CORRECT results. GSPMD
+    gathers around the pallas_call (the kernel sees the full batch on each
+    device — correct, not partitioned); crucially the shared-batch
+    adaptive grid semantics survive: NFE must be identical to the plain
+    XLA path, whose error norm is psum-reduced to the same single grid."""
+    from localregneuralde_tpu.harness.losses import logitcrossentropy
+    from localregneuralde_tpu.models import (
+        NeuralODE,
+        TDChain,
+        diffeqsol_to_array,
+    )
+    from localregneuralde_tpu.nn import Chain, Dense, WrappedFunction
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    F, H, B = 32, 16, 16
+
+    def build(up):
+        td = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+        node = NeuralODE(
+            td, regularize="unbiased", rtol=1e-4, atol=1e-4, max_steps=64,
+            use_pallas=up, use_persistent=up,
+        )
+        return Chain(
+            neural_ode=node,
+            sol_to_arr=WrappedFunction(diffeqsol_to_array),
+            classifier=Dense(F, 10),
+        )
+
+    def loss_fn(model, params, state, data, w_reg, *, training=True):
+        x, y = data
+        y_pred, st_ = model(params, state, x, training=training)
+        ce = logitcrossentropy(y_pred, y)
+        return ce + w_reg * st_["neural_ode"]["reg_val"], st_, {
+            "nfe": st_["neural_ode"]["nfe"]
+        }
+
+    mesh = make_mesh({"data": 8})
+    cfg = ExperimentConfig()
+    cfg.optimizer.scheduler.lr_scheduler = "constant"
+    opt, _ = construct_optimizer(cfg)
+    x = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, F))
+    y = jnp.eye(10)[jax.random.randint(jax.random.PRNGKey(2), (B,), 0, 10)]
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+
+    res = {}
+    for name, up in (("pallas", True), ("plain", False)):
+        model = build(up)
+        ts = create_train_state(model, opt, jax.random.PRNGKey(0))
+        ts = shard_train_state(ts, mesh)
+        step = make_sharded_train_step(model, loss_fn, opt, mesh)
+        ts2, loss, stats = step(ts, (xs, ys), 1.0, 1e-3)
+        res[name] = (float(loss), int(stats["nfe"]))
+    assert res["pallas"][1] == res["plain"][1]  # same shared-batch grid
+    np.testing.assert_allclose(
+        res["pallas"][0], res["plain"][0], rtol=2e-5
+    )
