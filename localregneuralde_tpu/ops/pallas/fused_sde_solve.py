@@ -96,7 +96,9 @@ def _norm_icdf(p):
     x_c = num * q / den
 
     def tail(pt):
-        qt = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(pt, 1e-38)))
+        # guard must be a NORMAL f32 (1e-38 is denormal — flushed to zero
+        # on TPU, turning the guard into log(0))
+        qt = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(pt, 1e-30)))
         nu = ((((c[0] * qt + c[1]) * qt + c[2]) * qt + c[3]) * qt + c[4]) \
             * qt + c[5]
         de = (((d[0] * qt + d[1]) * qt + d[2]) * qt + d[3]) * qt + 1.0
@@ -112,9 +114,18 @@ def _bits_to_uniform(bits):
     centered. Mosaic has no u32→f32 cast, so bits arrive as int32: the
     arithmetic >> 8 then & 0xFFFFFF equals the logical shift's low 24
     bits (sign-extension lands only in bits 24..31, which the mask
-    kills), and int32→f32 is supported."""
-    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24) \
+    kills), and int32→f32 is supported.
+
+    The result is CLAMPED to [1e-7, 1-1e-7]: the raw maximum 1 − 2⁻²⁵
+    ROUNDS TO EXACTLY 1.0f (halfway, round-to-even), and the ICDF's tail
+    guard (1e-38) is a denormal the TPU flushes to zero — one such draw
+    produced log(0) → NaN and poisoned an entire dyadic subtree of the
+    Brownian tree (measured round 3: the flagship SDE solve froze at
+    τ = 15/64). The clamp truncates the normal at ~5.2σ (P ≈ 1e-7 per
+    draw — immaterial against solver tolerances)."""
+    u = ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * (2.0 ** -24) \
         + 2.0 ** -25
+    return jnp.clip(u, 1e-7, 1.0 - 1e-7)
 
 
 def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,

@@ -269,3 +269,27 @@ def test_training_modes_run(regularize):
     assert bool(jnp.isfinite(gf).all())
     assert float(st["reg_val"]) > 0.0
     assert bool(st["success"])
+
+
+def test_uniform_clamp_prevents_icdf_poles():
+    """Regression (round-3 TPU bug): the raw 24-bit uniform maximum
+    1 - 2^-25 rounds to EXACTLY 1.0f; combined with TPU flush-to-zero of
+    the denormal tail guard this produced a NaN normal draw that poisoned
+    a dyadic subtree of the Brownian tree (solve froze at tau=15/64).
+    The clamp must keep every representable bit pattern strictly inside
+    (0, 1) and the ICDF finite."""
+    from localregneuralde_tpu.ops.pallas.fused_sde_solve import (
+        _bits_to_uniform,
+    )
+
+    # the exact poisonous pattern: low 24 bits all ones (after >>8 & mask)
+    # 0xFFFFFF00 as int32 is -256 (low-24-bits-of-shift all ones)
+    bits = jnp.asarray([0x7FFFFFFF, -1, 0, -256], jnp.int32)
+    u = _bits_to_uniform(bits)
+    assert float(u.max()) < 1.0
+    assert float(u.min()) > 0.0
+    e = _norm_icdf(u)
+    assert bool(jnp.isfinite(e).all())
+    # f32 check that the unclamped max would indeed round to 1.0
+    raw = np.float32(0xFFFFFF) * np.float32(2.0**-24) + np.float32(2.0**-25)
+    assert raw == np.float32(1.0)
