@@ -26,7 +26,7 @@ from .config import ExperimentConfig, experiment_name, flatten_config
 from .construct import construct_loss, construct_optimizer, construct_time_series
 from .data import make_dataloader, synthetic_physionet
 from .logging import create_logger, get_loggable_values, reset_meters
-from .train import create_train_state, make_train_step
+from .train import create_train_state, make_train_step, settle_state_shapes
 
 
 def build_physionet_arrays(cfg: ExperimentConfig):
@@ -79,6 +79,15 @@ def run_latent_ode_experiment(
     optimizer, lr_sched = construct_optimizer(cfg)
 
     ts = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed))
+    # Settle first-call-dependent state shapes (ReparameterizeLayer's (1,1)
+    # mu/logvar placeholders become (B, latent)) BEFORE the donated train
+    # step first traces — otherwise the step is guaranteed one recompile.
+    bsz = cfg.dataset.train_batchsize
+    settle_batch = tuple(jnp.asarray(a[:bsz]) for a in train_arrays)
+    ts = settle_state_shapes(
+        model, loss_fn, ts, settle_batch,
+        (float(w_reg_sched(1)), float(w_kl_sched(1))),
+    )
     train_step = make_train_step(model, loss_fn, optimizer)
 
     @jax.jit

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..core.struct import pytree_dataclass
+from ..core.struct import pytree_dataclass, replace as struct_replace
 
 
 @pytree_dataclass
@@ -37,6 +37,29 @@ def create_train_state(model, optimizer, key) -> TrainState:
         opt_state=opt_state,
         step=jnp.asarray(0, jnp.int32),
     )
+
+
+def settle_state_shapes(model, loss_fn, ts: TrainState, data,
+                        w_reg) -> TrainState:
+    """Replace layer-state leaves whose shapes settle on the first call
+    (e.g. ``ReparameterizeLayer``'s (1,1) mu/logvar placeholders becoming
+    (B, latent)) with zeros of the settled shape — computed abstractly via
+    ``jax.eval_shape`` (no compute, no compilation). Without this, the
+    donated train step is guaranteed one recompilation: the first call
+    traces with init shapes, every later call with settled shapes — at
+    tight-tolerance configs that is minutes of extra TPU compile."""
+    st_sd = jax.eval_shape(
+        lambda p, s: loss_fn(model, p, s, data, w_reg, training=True)[1],
+        ts.params, ts.state,
+    )
+
+    def pick(old, sd):
+        if old.shape == sd.shape and old.dtype == sd.dtype:
+            return old
+        return jnp.zeros(sd.shape, sd.dtype)
+
+    settled = jax.tree_util.tree_map(pick, ts.state, st_sd)
+    return struct_replace(ts, state=settled)
 
 
 def make_train_step(model, loss_fn, optimizer) -> Callable:

@@ -197,6 +197,59 @@ def test_end_to_end_latent_ode(tmp_path, adjoint):
     assert np.isfinite(out["best_eval_mse"])
 
 
+def test_settle_state_shapes_prevents_retrace():
+    """ReparameterizeLayer inits mu/logvar as (1,1) placeholders that become
+    (B, latent) on the first call; settle_state_shapes must pre-grow them so
+    the donated train step traces once (state-tree shapes are a stable fixed
+    point of the step)."""
+    from localregneuralde_tpu.harness.construct import (
+        construct_loss,
+        construct_optimizer,
+        construct_time_series,
+    )
+    from localregneuralde_tpu.harness.train import (
+        create_train_state,
+        settle_state_shapes,
+    )
+
+    cfg = _tiny_cfg("time_series")
+    cfg.model.ts_in_dims = 5
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 6
+    cfg.model.ts_node_dims = 4
+
+    tgrid = jnp.linspace(0.0, 1.0, 7)
+    model = construct_time_series(cfg, saveat=tgrid)
+    loss_fn, (w_reg_sched, w_kl_sched) = construct_loss(cfg)
+    optimizer, _ = construct_optimizer(cfg)
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+
+    B, T, D = 4, 7, 5
+    batch = (
+        jnp.zeros((B, T, D)),
+        jnp.ones((B, T, D)),
+        jnp.full((B, T, 1), 1.0 / T),
+    )
+    w = (float(w_reg_sched(1)), float(w_kl_sched(1)))
+
+    before = [x.shape for x in jax.tree_util.tree_leaves(ts.state)]
+    ts = settle_state_shapes(model, loss_fn, ts, batch, w)
+    after = [x.shape for x in jax.tree_util.tree_leaves(ts.state)]
+    assert before != after  # the placeholders really did need settling
+
+    # settled shapes are the fixed point: one abstract step maps the state
+    # tree onto itself (so the donated jit never retraces on shape change)
+    st_sd = jax.eval_shape(
+        lambda p, s: loss_fn(model, p, s, batch, w, training=True)[1],
+        ts.params, ts.state,
+    )
+    assert [x.shape for x in jax.tree_util.tree_leaves(st_sd)] == after
+
+    # idempotent
+    ts2 = settle_state_shapes(model, loss_fn, ts, batch, w)
+    assert [x.shape for x in jax.tree_util.tree_leaves(ts2.state)] == after
+
+
 def test_optimizer_factory_variants():
     from localregneuralde_tpu.harness import ExperimentConfig
     from localregneuralde_tpu.harness.construct import construct_optimizer
