@@ -106,13 +106,6 @@ def _bwd_kernel(precision, grad_precision, sc_ref, u_ref, k1_ref,
     for i in range(6):
         d_ks[i + 1] = d_ks[i + 1] + d_ct[i]
 
-    dw1_acc = jnp.zeros_like(w1)
-    db1_acc = jnp.zeros_like(b1)
-    dw1t_acc = jnp.zeros_like(w1t)
-    dw2_acc = jnp.zeros_like(w2)
-    db2_acc = jnp.zeros_like(b2)
-    dw2t_acc = jnp.zeros_like(w2t)
-
     d_x_pending = [zero] * 6  # cotangent flowing into each stage input x_i
 
     # stage-input cotangent seeds: x7 = u_new gets d_unew (+ dx from k7's
@@ -121,27 +114,18 @@ def _bwd_kernel(precision, grad_precision, sc_ref, u_ref, k1_ref,
     d_x_pending[4] = d_x_pending[4] + d_g6
 
     coeffs = _stage_coeffs()
+    dzs = [None] * 6
+    dks_out = [None] * 6
     for i in reversed(range(6)):  # stage evals producing k_{i+2}... k7
         dk = d_ks[i + 1]
         # vjp through k = h·W2 + b2 + s·w2t ; h = tanh(z) ; z = x·W1 + ...
         h = hs[i]
-        x = xs[i]
         s = ss[i]
         dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32, precision=grad_precision)
         dz = dh * (1.0 - h * h)
         dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32, precision=grad_precision)
-        dw1_acc = dw1_acc + jnp.dot(
-            x.T, dz, preferred_element_type=jnp.float32,
-            precision=grad_precision,
-        )
-        db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
-        dw1t_acc = dw1t_acc + s * jnp.sum(dz, axis=0, keepdims=True)
-        dw2_acc = dw2_acc + jnp.dot(
-            h.T, dk, preferred_element_type=jnp.float32,
-            precision=grad_precision,
-        )
-        db2_acc = db2_acc + jnp.sum(dk, axis=0, keepdims=True)
-        dw2t_acc = dw2t_acc + s * jnp.sum(dk, axis=0, keepdims=True)
+        dzs[i] = dz
+        dks_out[i] = dk
 
         dx_total = dx + d_x_pending[i]
         # x_i = u + dt Σ_j a_ij k_j
@@ -149,6 +133,30 @@ def _bwd_kernel(precision, grad_precision, sc_ref, u_ref, k1_ref,
         a_row = coeffs[i][0]
         for j, a in enumerate(a_row):
             d_ks[j] = d_ks[j] + (dt * a) * dx_total
+
+    # ---- weight grads, stage-batched: the 12 per-stage contractions
+    # (K = batch tile, which under-fills the MXU K pipeline — measured 57%
+    # of roof at 'highest') become 2 contractions at K = 6·tile by
+    # concatenating the stages along the batch (sublane) axis.
+    #   dW1 = Σ_i x_iᵀ·dz_i = [x]ᵀ·[dz] ;  dW2 = Σ_i h_iᵀ·dk_i = [h]ᵀ·[dk]
+    xcat = jnp.concatenate(xs, axis=0)
+    dzcat = jnp.concatenate(dzs, axis=0)
+    hcat = jnp.concatenate(hs, axis=0)
+    dkcat = jnp.concatenate(dks_out, axis=0)
+    dw1_acc = jnp.dot(xcat.T, dzcat, preferred_element_type=jnp.float32,
+                      precision=grad_precision)
+    dw2_acc = jnp.dot(hcat.T, dkcat, preferred_element_type=jnp.float32,
+                      precision=grad_precision)
+    db1_acc = jnp.sum(dzcat, axis=0, keepdims=True)
+    db2_acc = jnp.sum(dkcat, axis=0, keepdims=True)
+    # time-channel grads: Σ_i s_i·Σ_rows dz_i = Σ_rows (s_row ⊙ [dz]) where
+    # s_row broadcasts each stage's scalar time over its tile rows.
+    tb = u.shape[0]
+    srow = jnp.concatenate(
+        [jnp.full((tb, 1), 1.0, jnp.float32) * s for s in ss], axis=0
+    )
+    dw1t_acc = jnp.sum(srow * dzcat, axis=0, keepdims=True)
+    dw2t_acc = jnp.sum(srow * dkcat, axis=0, keepdims=True)
 
     du_ref[:] = d_u
     dk1_ref[:] = d_ks[0]
@@ -183,7 +191,12 @@ def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
     default and None (backend-fast) is a measured speed lever."""
     from .fused_mlp import _pick_tile, _split_params
 
-    w1, b1, w1t, w2, b2, w2t = _split_params(params)
+    # pad_hidden: H→multiple of 128 (MXU lane width), exactly as the forward
+    # kernel does — mathematically exact (padded units have zero weights,
+    # bias and time column throughout, so dz/dh vanish on the pad and the
+    # padded grad columns/rows are exactly zero; sliced off below).
+    w1, b1, w1t, w2, b2, w2t = _split_params(params, pad_hidden=True)
+    H_true = params["layer_0"]["w"].shape[1]
     B, F = u.shape
     H = w1.shape[1]
     tb = _pick_tile(B, F, n_buffers=40)
@@ -229,6 +242,11 @@ def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
       d_unew, d_utilde, d_k2, d_k3, d_k4, d_k5, d_k6, d_k7, d_g6)
 
     du, dk1, dw1, db1, dw1t, dw2, db2, dw2t = out
+    if H != H_true:  # strip the exact-zero hidden padding
+        dw1 = dw1[:, :H_true]
+        db1 = db1[:, :H_true]
+        dw1t = dw1t[:, :H_true]
+        dw2 = dw2[:H_true, :]
     d_params = {
         "layer_0": {
             "w": jnp.concatenate([dw1, dw1t], axis=0),

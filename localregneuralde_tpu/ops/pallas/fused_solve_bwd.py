@@ -87,7 +87,9 @@ def _plan(B: int, F: int, H_pad: int, n_save: int, replay_tile: int = 0):
     for tb in (128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
-        temps = 20 * tb * F * 4 + 8 * tb * H_pad * 4
+        # +12 F-tiles / +12 H-tiles for the stage-batched weight-grad
+        # concatenations (xcat/dkcat and dzcat/hcat)
+        temps = 32 * tb * F * 4 + 20 * tb * H_pad * 4
         if resident + temps <= _VMEM_BUDGET:
             return tb, resident + temps
     return None, None
@@ -281,45 +283,48 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
                 d_x_pending = [zero] * 6
                 d_x_pending[5] = d_x_pending[5] + a_u  # x7 = u_new
 
-                dw1_acc = jnp.zeros_like(w1)
-                db1_acc = jnp.zeros_like(b1)
-                dw1t_acc = jnp.zeros_like(w1t)
-                dw2_acc = jnp.zeros_like(w2)
-                db2_acc = jnp.zeros_like(b2)
-                dw2t_acc = jnp.zeros_like(w2t)
-
+                dzs = [None] * 6
+                dks_out = [None] * 6
                 for i_s in reversed(range(6)):  # evals producing k2..k7
                     dk = d_ks[i_s + 1]
                     h = hs[i_s + 1]
-                    x = xs[i_s + 1]
-                    s = ss[i_s + 1]
                     dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32,
                                  precision=grad_precision)
                     dz = dh * (1.0 - h * h)
                     dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32,
                                  precision=grad_precision)
-                    dw1_acc = dw1_acc + jnp.dot(
-                        x.T, dz, preferred_element_type=jnp.float32,
-                        precision=grad_precision,
-                    )
-                    db1_acc = db1_acc + jnp.sum(dz, axis=0, keepdims=True)
-                    dw1t_acc = dw1t_acc + s * jnp.sum(
-                        dz, axis=0, keepdims=True
-                    )
-                    dw2_acc = dw2_acc + jnp.dot(
-                        h.T, dk, preferred_element_type=jnp.float32,
-                        precision=grad_precision,
-                    )
-                    db2_acc = db2_acc + jnp.sum(dk, axis=0, keepdims=True)
-                    dw2t_acc = dw2t_acc + s * jnp.sum(
-                        dk, axis=0, keepdims=True
-                    )
+                    dzs[i_s] = dz
+                    dks_out[i_s] = dk
 
                     dx_total = dx + d_x_pending[i_s]
                     d_u = d_u + dx_total
                     a_row = coeffs[i_s][0]
                     for j_s, a in enumerate(a_row):
                         d_ks[j_s] = d_ks[j_s] + (dt * a) * dx_total
+
+                # weight grads, stage-batched (K = 6·tb instead of six
+                # K = tb contractions per weight — fills the MXU K
+                # pipeline; same trick as fused_mlp_bwd._bwd_kernel)
+                xcat = jnp.concatenate(xs[1:7], axis=0)
+                dzcat = jnp.concatenate(dzs, axis=0)
+                hcat = jnp.concatenate(hs[1:7], axis=0)
+                dkcat = jnp.concatenate(dks_out, axis=0)
+                dw1_acc = jnp.dot(
+                    xcat.T, dzcat, preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )
+                dw2_acc = jnp.dot(
+                    hcat.T, dkcat, preferred_element_type=jnp.float32,
+                    precision=grad_precision,
+                )
+                db1_acc = jnp.sum(dzcat, axis=0, keepdims=True)
+                db2_acc = jnp.sum(dkcat, axis=0, keepdims=True)
+                srow = jnp.concatenate(
+                    [jnp.full((tb, 1), 1.0, jnp.float32) * ss[m]
+                     for m in range(1, 7)], axis=0
+                )
+                dw1t_acc = jnp.sum(srow * dzcat, axis=0, keepdims=True)
+                dw2t_acc = jnp.sum(srow * dkcat, axis=0, keepdims=True)
 
                 # carries: a_u ← d_u + Σ_hit ct ; a_k ← d_k1 + dt·b1(θ)·ct
                 au_ref[pl.ds(off, tb), :] = d_u + d_u_interp
