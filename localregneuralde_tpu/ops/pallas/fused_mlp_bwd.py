@@ -180,7 +180,7 @@ def _bwd_kernel(precision, grad_precision, sc_ref, u_ref, k1_ref,
 
 
 def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
-                   grad_precision="match"):
+                   grad_precision="match", tile_override=None):
     """Run the fused backward kernel; returns (d_params, d_u, 0, 0, d_k1)
     in the TDChain param structure.
 
@@ -199,7 +199,16 @@ def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
     H_true = params["layer_0"]["w"].shape[1]
     B, F = u.shape
     H = w1.shape[1]
-    tb = _pick_tile(B, F, n_buffers=40)
+    # tile 128 measured fastest at both precisions (interleaved on-device
+    # slope A/B vs 64/256: highest 146.6/133.5/167.9 µs, default
+    # 45.4/33.2/33.2 µs) — M=128 fills the MXU sublanes on the 24 serial
+    # chain dots; 256 loses the grid's HBM/compute overlap.
+    if tile_override:
+        tb = tile_override
+    elif B % 128 == 0:
+        tb = 128
+    else:
+        tb = _pick_tile(B, F, n_buffers=40)
     grid = (B // tb,)
     sc = jnp.stack(
         [jnp.asarray(t, jnp.float32), jnp.asarray(dt, jnp.float32)]
@@ -236,6 +245,15 @@ def fused_step_bwd(params, u, t, dt, k1, cts, precision=None,
             jax.ShapeDtypeStruct((H, F), jnp.float32),
             jax.ShapeDtypeStruct((1, F), jnp.float32),
             jax.ShapeDtypeStruct((1, F), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # ~46 live tile-sized values at the chosen tile (incl. the
+            # stage-batched concat buffers); sized generously — v5e VMEM
+            # is 128 MB physical (measured, CLAUDE.md)
+            vmem_limit_bytes=min(
+                100 * 1024 * 1024,
+                max(46 * tb * F * 4 + 4 * F * H * 4, 32 * 1024 * 1024),
+            ),
         ),
         interpret=_interpret(),
     )(sc, u, k1, w1, b1, w1t, w2, b2, w2t,
