@@ -166,6 +166,35 @@ class NeuralDSDE(Module):
 
         return pf
 
+    def _persistent_sweep_fn(self):
+        """Whole-sweep persistent SDE backward (fused_sde_sweep.py): the
+        stored adjoint's reverse transposition of every recorded step in
+        one TPU program (same gating as the forward kernel; the recorded
+        (dW, dZ) make the transpose forward-agnostic, so it also serves
+        XLA-loop forwards when the knot layout is lane-aligned)."""
+        if not (
+            self.use_pallas and self.use_persistent
+            and self.solver in ("sri", "sosri")
+            and self.noise_dims is None
+            and self._is_fused_family()
+        ):
+            return None
+        from ..ops.pallas.fused_sde_sweep import persistent_sde_sweep
+
+        prec = self.mm_precision
+        delta = self.delta
+        solver = self.solver
+
+        def psf(p, knot_ts, knot_us, knot_dws, knot_dzs, naccept,
+                saveat_arr, ct_ys, ct_y):
+            return persistent_sde_sweep(
+                p, knot_ts, knot_us, knot_dws, knot_dzs, naccept,
+                saveat_arr, ct_ys, ct_y, solver=solver, delta=delta,
+                precision=prec, grad_precision=None,
+            )
+
+        return psf
+
     def init(self, key):
         dk, gk, sk = jax.random.split(key, 3)
         dp, ds = self.drift.init(dk)
@@ -231,6 +260,7 @@ class NeuralDSDE(Module):
             g_state=state["diffusion"],
             noise_shape=noise_shape,
             persistent_fn=self._persistent_fn(),
+            persistent_sweep_fn=self._persistent_sweep_fn(),
         )
 
         if mode == "none":

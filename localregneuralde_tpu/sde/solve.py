@@ -122,6 +122,7 @@ def sdesolve(
     record_knots: bool = False,
     noise_shape: Optional[tuple] = None,
     persistent_fn=None,
+    persistent_sweep_fn=None,
 ) -> SDESolution:
     """Integrate ``du = f dt + g dW`` over ``tspan``.
 
@@ -141,6 +142,7 @@ def sdesolve(
             stateful=stateful, f_state=f_state, g_state=g_state,
             reservoir_key=reservoir_key, brownian_depth=brownian_depth,
             noise_shape=noise_shape, persistent_fn=persistent_fn,
+            persistent_sweep_fn=persistent_sweep_fn,
         )
     if solver not in _SOLVERS:
         raise ValueError(f"unknown SDE solver {solver!r}; one of {list(_SOLVERS)}")

@@ -60,6 +60,7 @@ def stored_sdesolve(
     brownian_depth: int = 24,
     noise_shape: Optional[tuple] = None,
     persistent_fn=None,
+    persistent_sweep_fn=None,
 ) -> SDESolution:
     t0, t_end = float(tspan[0]), float(tspan[1])
     if saveat is None:
@@ -145,6 +146,25 @@ def stored_sdesolve(
         ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
 
+        pre = (saveat_arr <= t0).astype(u0.dtype)
+        d_u0_pre = jnp.sum(
+            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
+        )
+
+        # whole-sweep persistent kernel (fused_sde_sweep.py): transposes
+        # every recorded step in ONE TPU program; the closure declines
+        # (returns None, statically) outside its family/plan
+        if persistent_sweep_fn is not None:
+            out = persistent_sweep_fn(
+                p, knot_ts, knot_us, knot_dws, knot_dzs, naccept,
+                saveat_arr, ct_ys, ct_y,
+            )
+            if out is not None:
+                a_u, d_p = out
+                return (
+                    a_u + d_u0_pre, d_p, jnp.zeros_like(saveat_arr)
+                )
+
         def body(carry):
             j, a_u, a_p = carry
             t = knot_ts[j]
@@ -175,11 +195,6 @@ def stored_sdesolve(
 
         carry0 = (naccept - 1, ct_y, jnp.zeros_like(p_flat))
         _, a_u, a_p = lax.while_loop(lambda c: c[0] >= 0, body, carry0)
-
-        pre = (saveat_arr <= t0).astype(u0.dtype)
-        d_u0_pre = jnp.sum(
-            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
-        )
         return a_u + d_u0_pre, unravel_p(a_p), jnp.zeros_like(saveat_arr)
 
     core.defvjp(core_fwd, core_bwd)
