@@ -210,11 +210,24 @@ def construct_time_series(cfg: ExperimentConfig, saveat):
         Dense(m.ts_hidden_dims, m.ts_node_dims, "tanh"),
     )
     kwargs = _node_kwargs(cfg)
+    # the gen dynamics is the autonomous Dense-chain Pallas family
+    # (ops/pallas/fused_solve.py::match_dense_chain) — persistent
+    # solve/sweep kernels serve it on TPU
+    import jax
+
+    if m.use_pallas == "on":
+        use_pallas = True
+    elif m.use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = False
     return Chain(
         gru=gru,
         rec_to_gen=rec_to_gen,
         reparam=ReparameterizeLayer(),
-        neural_ode=NeuralODE(gen_dynamics, saveat=saveat, **kwargs),
+        neural_ode=NeuralODE(
+            gen_dynamics, saveat=saveat, use_pallas=use_pallas, **kwargs
+        ),
         sol_to_ts=WrappedFunction(diffeqsol_to_timeseries),
         gen_to_data=Dense(m.ts_node_dims, m.ts_in_dims),
     )

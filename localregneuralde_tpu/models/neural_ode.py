@@ -144,11 +144,24 @@ class NeuralODE(Module):
                 if spec is not None:
                     self._pallas_family = "conv"
                     self._conv_spec = spec
+                else:
+                    from ..ops.pallas.fused_solve import match_dense_chain
+
+                    cinfo = match_dense_chain(model)
+                    if cinfo is not None:
+                        # autonomous Dense chain (the latent-ODE gen
+                        # dynamics): served by the persistent solve/sweep
+                        # kernels only — per-step solves use the generic
+                        # XLA step (one fused step buys nothing there)
+                        self._pallas_family = "chain"
+                        self._chain_info = cinfo
             if self._pallas_family is None:
                 raise ValueError(
                     "use_pallas=True requires a TDChain of two Dense layers "
-                    "(fused TD-MLP family) or the conv dynamics family "
-                    "(Conv+BN ×2 → Conv, see ops/pallas/fused_conv.py)"
+                    "(fused TD-MLP family), the conv dynamics family "
+                    "(Conv+BN ×2 → Conv, see ops/pallas/fused_conv.py), or "
+                    "an autonomous Dense chain (latent gen-dynamics family, "
+                    "see ops/pallas/fused_solve.py::match_dense_chain)"
                 )
 
     def init(self, key):
@@ -211,6 +224,8 @@ class NeuralODE(Module):
         """Fused Pallas Tsit5 step (same contract as the generic step)."""
         if not self.use_pallas:
             return None
+        if self._pallas_family == "chain":
+            return None  # persistent kernels only; XLA loop uses generic steps
         if self._pallas_family == "conv":
             if not hasattr(self, "_conv_steps"):
                 self._conv_steps = {}
@@ -246,6 +261,8 @@ class NeuralODE(Module):
         """Direct hand-fused backward for the stored-adjoint sweep (skips
         jax.vjp's dead primal recompute per step)."""
         if not self.use_pallas:
+            return None
+        if self._pallas_family == "chain":
             return None
         if self._pallas_family == "conv":
             from ..ops.pallas.fused_conv_bwd import fused_conv_step_bwd
@@ -284,13 +301,18 @@ class NeuralODE(Module):
         loop."""
         if not (
             self.use_pallas and self.use_persistent
-            and self._pallas_family == "mlp"
+            and self._pallas_family in ("mlp", "chain")
         ):
             return None
         from ..ode.solve import ODESolution
-        from ..ops.pallas.fused_solve import persistent_tsit5_solve
+        from ..ops.pallas.fused_solve import (
+            persistent_chain_solve,
+            persistent_tsit5_solve,
+        )
 
         prec = self.mm_precision
+        family = self._pallas_family
+        chain_info = getattr(self, "_chain_info", None)
 
         def pf(u0, tspan, p, *, saveat_arr, rtol, atol, max_steps,
                record_knots, knot_dense_cap, reservoir_key, dt0, f_state,
@@ -301,26 +323,50 @@ class NeuralODE(Module):
                 # sweep can't run so the XLA loop records unpadded knots
                 # for the XLA fallback sweep. Two-level (stride > 1)
                 # additionally requires the windowed-replay sweep plan.
-                from ..ops.pallas.fused_solve_bwd import sweep_feasible
+                from ..ops.pallas.fused_solve_bwd import (
+                    chain_sweep_feasible,
+                    sweep_feasible,
+                )
 
-                if not sweep_feasible(
-                    p["model"], u0.shape[0], u0.shape[1],
-                    int(saveat_arr.shape[0]),
-                    two_level=knot_stride > 1,
-                    use_reservoir=reservoir_key is not None,
-                ):
+                if family == "mlp":
+                    ok = sweep_feasible(
+                        p["model"], u0.shape[0], u0.shape[1],
+                        int(saveat_arr.shape[0]),
+                        two_level=knot_stride > 1,
+                        use_reservoir=reservoir_key is not None,
+                    )
+                else:
+                    ok = chain_sweep_feasible(
+                        chain_info, u0.shape[0],
+                        int(saveat_arr.shape[0]),
+                        two_level=knot_stride > 1,
+                        use_reservoir=reservoir_key is not None,
+                    )
+                if not ok:
                     return None
-            out = persistent_tsit5_solve(
-                p["model"], u0, tspan, rtol=rtol, atol=atol,
-                saveat_arr=saveat_arr, max_steps=max_steps,
-                record_knots=record_knots, knot_dense_cap=knot_dense_cap,
-                knot_stride=knot_stride,
-                # the persistent sweep recomputes k1 in-kernel; skip the
-                # dense k-stream (halves per-accept DMA traffic)
-                record_ks=False,
-                reservoir_key=reservoir_key, precision=prec, dt0=dt0,
-                plan_only=plan_only,
-            )
+            if family == "mlp":
+                out = persistent_tsit5_solve(
+                    p["model"], u0, tspan, rtol=rtol, atol=atol,
+                    saveat_arr=saveat_arr, max_steps=max_steps,
+                    record_knots=record_knots,
+                    knot_dense_cap=knot_dense_cap,
+                    knot_stride=knot_stride,
+                    # the persistent sweep recomputes k1 in-kernel; skip
+                    # the dense k-stream (halves per-accept DMA traffic)
+                    record_ks=False,
+                    reservoir_key=reservoir_key, precision=prec, dt0=dt0,
+                    plan_only=plan_only,
+                )
+            else:
+                out = persistent_chain_solve(
+                    p["model"], chain_info, u0, tspan, rtol=rtol,
+                    atol=atol, saveat_arr=saveat_arr, max_steps=max_steps,
+                    record_knots=record_knots,
+                    knot_dense_cap=knot_dense_cap,
+                    knot_stride=knot_stride, record_ks=False,
+                    reservoir_key=reservoir_key, precision=prec, dt0=dt0,
+                    plan_only=plan_only,
+                )
             if out is None or plan_only:
                 return out
             # the fused family is stateless: threading f_state through the
@@ -345,21 +391,30 @@ class NeuralODE(Module):
         plan doesn't fit or n_save is large."""
         if not (
             self.use_pallas and self.use_persistent
-            and self._pallas_family == "mlp"
+            and self._pallas_family in ("mlp", "chain")
         ):
             return None
         from jax.flatten_util import ravel_pytree
 
         from ..ops.pallas.fused_solve_bwd import (
+            persistent_chain_sweep,
             persistent_stored_sweep,
             persistent_two_level_sweep,
         )
 
         prec = self.mm_precision
+        family = self._pallas_family
+        chain_info = getattr(self, "_chain_info", None)
 
         def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y,
                   two_level_ctx=None):
-            if two_level_ctx is None:
+            if family == "chain":
+                res = persistent_chain_sweep(
+                    p["model"], chain_info, knot_ts, knot_us, naccept,
+                    saveat_arr, ct_ys, ct_y, two_level_ctx=two_level_ctx,
+                    precision=prec, grad_precision=None,
+                )
+            elif two_level_ctx is None:
                 res = persistent_stored_sweep(
                     p["model"], knot_ts, knot_us, naccept, saveat_arr,
                     ct_ys, ct_y, precision=prec, grad_precision=None,

@@ -82,6 +82,62 @@ def _interpret() -> bool:
 _VMEM_BUDGET = 88 * 1024 * 1024
 
 
+# ---------------------------------------------------------------------------
+# dynamics families. A family spec is a HASHABLE tuple (feeds the
+# _build_call lru_cache) describing how the in-kernel dynamics read their
+# weight operand refs:
+#   ("tdmlp",)                      — the flagship TDChain TD-MLP
+#                                     (6 operands: w1 b1 w1t w2 b2 w2t)
+#   ("chain", dims, acts, lead)     — autonomous Dense chain (the latent
+#                                     gen-dynamics family,
+#                                     construct.jl:241-245): ``dims`` the
+#                                     PADDED per-layer widths (P0..PL),
+#                                     ``acts`` per-layer tanh flags,
+#                                     ``lead`` a leading elementwise tanh
+#                                     (2L operands: w_i (P_{i-1}, P_i),
+#                                     b_i (1, P_i))
+
+
+def family_n_weights(spec) -> int:
+    if spec[0] == "tdmlp":
+        return 6
+    if spec[0] == "chain":
+        return 2 * (len(spec[1]) - 1)
+    raise ValueError(f"unknown dynamics family {spec[0]!r}")
+
+
+def family_make_f(spec, wrefs, precision):
+    """Build the in-kernel dynamics eval ``f(x, s) -> k`` from the weight
+    operand refs."""
+    if spec[0] == "tdmlp":
+        w1, b1, w1t, w2, b2, w2t = wrefs
+
+        def f(x, s):
+            return _eval_mlp(
+                x, s, w1[:], b1[:], w1t[:], w2[:], b2[:], w2t[:],
+                precision,
+            )
+
+        return f
+    if spec[0] == "chain":
+        _, dims, acts, lead = spec
+        L = len(dims) - 1
+
+        def f(x, s):
+            a = jnp.tanh(x) if lead else x
+            for i in range(L):
+                z = jnp.dot(
+                    a, wrefs[2 * i][:],
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ) + wrefs[2 * i + 1][:]
+                a = jnp.tanh(z) if acts[i] else z
+            return a
+
+        return f
+    raise ValueError(f"unknown dynamics family {spec[0]!r}")
+
+
 def _plan(B: int, F: int, H_pad: int, n_save: int, use_reservoir: bool,
           record_knots: bool):
     """Pick a batch tile size under the VMEM budget, or None if infeasible.
@@ -195,7 +251,7 @@ def run_attempt_tiles(f, u_ref, k1_ref, cand_u_ref, cand_k7_ref, t, dt_c,
 
 def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
                  max_steps, n_dense, use_reservoir, stride, n_ckpt,
-                 record_ks):
+                 record_ks, family=("tdmlp",)):
     """Build the persistent-solve kernel body for a static configuration.
 
     ``F`` is the PADDED feature width (multiple of 128 — Mosaic DMA slices
@@ -217,12 +273,7 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
         rand_ref = next(it) if use_reservoir else None  # SMEM (max_steps,)
         u0_ref = next(it)            # VMEM (B, F)
         k10_ref = next(it)           # VMEM (B, F)
-        w1_ref = next(it)
-        b1_ref = next(it)
-        w1t_ref = next(it)
-        w2_ref = next(it)
-        b2_ref = next(it)
-        w2t_ref = next(it)
+        wrefs = [next(it) for _ in range(family_n_weights(family))]
         # outputs. NOTE: input→output aliasing is deliberately NOT used —
         # on the real-TPU execution path the aliased output buffer does
         # not observe the input values (measured: a fully-rejected solve
@@ -256,11 +307,7 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
         t_end = sc_ref[1]
         dt0 = sc_ref[2]
 
-        def f(x, s):
-            return _eval_mlp(
-                x, s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
-                b2_ref[:], w2t_ref[:], precision,
-            )
+        f = family_make_f(family, wrefs, precision)
 
         def dma_to(vm_ref, hbm_ref, slot, sem):
             off = pl.multiple_of(slot * B, B)
@@ -435,12 +482,12 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
                 max_steps, n_dense, use_reservoir, stride, n_ckpt,
-                record_ks, vmem_limit, interpret):
+                record_ks, vmem_limit, interpret, family=("tdmlp",)):
     record_knots = n_dense > 0
     record_ckpts = n_ckpt > 0
     kernel = _make_kernel(
         precision, rtol, atol, B, F, F_logical, tb, n_save, max_steps,
-        n_dense, use_reservoir, stride, n_ckpt, record_ks,
+        n_dense, use_reservoir, stride, n_ckpt, record_ks, family,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -449,7 +496,8 @@ def _build_call(precision, rtol, atol, B, F, F_logical, H_pad, tb, n_save,
     in_specs = [smem(), smem()]
     if use_reservoir:
         in_specs.append(smem())
-    in_specs += [vmem()] * 8  # u0, k1_0, 6 weight operands
+    # u0, k1_0, then the family's weight operands
+    in_specs += [vmem()] * (2 + family_n_weights(family))
 
     out_specs = [vmem(), vmem(), smem(), smem()]
     out_shape = [
@@ -628,6 +676,232 @@ def persistent_tsit5_solve(
         # knots stay PADDED (n_dense, B, F_pad) — consumed by the
         # persistent sweep, never by the XLA fallback (the caller gates
         # record_knots on sweep feasibility)
+        knot_ts = outs[i]; i += 1
+        knot_us = outs[i].reshape(n_dense, B, F_pad); i += 1
+        if use_ks:
+            knot_ks = outs[i].reshape(n_dense, B, F_pad); i += 1
+    if n_ckpt > 0:
+        ckpt_ts = outs[i]; i += 1
+        ckpt_dts = outs[i]; i += 1
+        ckpt_qolds = outs[i]; i += 1
+        ckpt_us = outs[i].reshape(n_ckpt, B, F_pad); i += 1
+        ckpt_ks = outs[i].reshape(n_ckpt, B, F_pad); i += 1
+
+    return dict(
+        y_final=y_final,
+        ys=ys,
+        naccept=stats_i[0],
+        nreject=stats_i[1],
+        success=stats_i[2].astype(jnp.bool_),
+        nfe=nfe0 + 6 * stats_i[3],
+        t_final=stats_f[0],
+        reservoir_t=stats_f[1] if use_reservoir else None,
+        reservoir_u=res_u,
+        knot_ts=knot_ts,
+        knot_us=knot_us,
+        knot_ks=knot_ks,
+        ckpt_ts=ckpt_ts,
+        ckpt_us=ckpt_us,
+        ckpt_ks=ckpt_ks,
+        ckpt_dts=ckpt_dts,
+        ckpt_qolds=ckpt_qolds,
+        forward_tile=tb,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the autonomous Dense-chain family (latent-ODE gen dynamics,
+# construct.jl:241-245: Chain(x->tanh, Dense...tanh x8))
+
+
+def match_dense_chain(model):
+    """Match ``Chain([Lambda(tanh)], Dense(tanh|identity)...)`` with
+    state-preserving width (d0 == dL). Returns ``(spec, layer_keys)`` —
+    the hashable kernel family spec and the chain's Dense param keys in
+    order — or ``None``."""
+    from ...nn.basic import _ACTIVATIONS, Chain, Dense, Lambda
+
+    if not isinstance(model, Chain):
+        return None
+    items = list(model.layers.items())
+    lead = False
+    if items and isinstance(items[0][1], Lambda):
+        if items[0][1].fn is not jnp.tanh:
+            return None
+        lead = True
+        items = items[1:]
+    if not items or not all(isinstance(l, Dense) for _, l in items):
+        return None
+    ident = (_ACTIVATIONS[None], _ACTIVATIONS["identity"])
+    dims = [items[0][1].in_dim]
+    acts = []
+    keys = []
+    for key, l in items:
+        if not l.use_bias or l.in_dim != dims[-1]:
+            return None
+        if l.activation is jnp.tanh:
+            acts.append(True)
+        elif any(l.activation is fn for fn in ident):
+            acts.append(False)
+        else:
+            return None
+        dims.append(l.out_dim)
+        keys.append(key)
+    if dims[0] != dims[-1]:
+        return None
+    pads = tuple(-(-d // 128) * 128 for d in dims)
+    spec = ("chain", pads, tuple(acts), lead)
+    return spec, tuple(keys), tuple(dims)
+
+
+def _chain_plan(B: int, F_pad: int, max_pad: int, n_weights: int,
+                n_save: int, use_reservoir: bool):
+    """Batch tile under the VMEM budget for the chain family."""
+    resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F_pad * 4
+    resident += n_weights // 2 * (max_pad * max_pad + max_pad) * 4
+    for tb in (256, 128, 64, 32, 16, 8):
+        if tb > B or B % tb:
+            continue
+        temps = 11 * tb * F_pad * 4 + 3 * tb * max_pad * 4
+        if resident + temps <= _VMEM_BUDGET:
+            return tb, resident + temps
+    return None, None
+
+
+def chain_eval_pure(params, keys, acts, lead, x, precision=None):
+    """Unpadded pure-JAX twin of the in-kernel chain eval (used for k1_0,
+    the HNW dt heuristic, and tests)."""
+    a = jnp.tanh(x) if lead else x
+    for key, act in zip(keys, acts):
+        z = jnp.dot(
+            a, params[key]["w"], preferred_element_type=jnp.float32,
+            precision=precision,
+        ) + params[key]["b"]
+        a = jnp.tanh(z) if act else z
+    return a
+
+
+def pack_chain_weights(params, spec, keys, dims):
+    """Pad the chain's Dense weights to the spec's lane-aligned widths."""
+    _, pads, _, _ = spec
+    ops = []
+    for i, key in enumerate(keys):
+        w = params[key]["w"]
+        b = params[key]["b"]
+        ops.append(jnp.pad(
+            w, ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
+        ))
+        ops.append(
+            jnp.pad(b, (0, pads[i + 1] - dims[i + 1])).reshape(1, -1)
+        )
+    return ops
+
+
+def persistent_chain_solve(
+    params,
+    chain_info,
+    u0: jnp.ndarray,
+    tspan,
+    *,
+    rtol: float,
+    atol: float,
+    saveat_arr: jnp.ndarray,
+    max_steps: int,
+    record_knots: bool = False,
+    knot_dense_cap: Optional[int] = None,
+    knot_stride: int = 1,
+    record_ks: bool = True,
+    reservoir_key: Optional[jnp.ndarray] = None,
+    precision=None,
+    dt0=None,
+    plan_only: bool = False,
+):
+    """``persistent_tsit5_solve`` for the autonomous Dense-chain family.
+    ``chain_info = (spec, layer_keys, dims)`` from ``match_dense_chain``.
+    Same return/decline contract as the TD-MLP wrapper."""
+    if u0.ndim != 2 or u0.dtype != jnp.float32:
+        return None
+    spec, keys, dims = chain_info
+    B, F = u0.shape
+    if F != dims[0]:
+        return None
+    n_save = int(saveat_arr.shape[0])
+    use_reservoir = reservoir_key is not None
+    F_pad = spec[1][0]
+    max_pad = max(spec[1])
+    tb, vmem_est = _chain_plan(
+        B, F_pad, max_pad, family_n_weights(spec), n_save, use_reservoir
+    )
+    if tb is None:
+        return None
+    if plan_only:
+        return True
+
+    t0 = jnp.asarray(tspan[0], jnp.float32)
+    t_end = jnp.asarray(tspan[1], jnp.float32)
+    _, _, acts, lead = spec
+
+    def fn(u, t, p, st):
+        return chain_eval_pure(p, keys, acts, lead, u, precision), st
+
+    k1_0 = chain_eval_pure(params, keys, acts, lead, u0, precision)
+    nfe0 = jnp.asarray(1, jnp.int32)
+    if dt0 is None:
+        dt_init, extra = initial_step_size(
+            fn, u0, t0, params, None, order=5, rtol=rtol, atol=atol,
+            f0=k1_0,
+        )
+        nfe0 = nfe0 + extra
+    else:
+        dt_init = jnp.asarray(dt0, jnp.float32)
+    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+
+    n_dense = 0
+    if record_knots:
+        cap = max_steps if knot_dense_cap is None else min(
+            max_steps, int(knot_dense_cap)
+        )
+        n_dense = cap + 1
+    stride = max(1, int(knot_stride))
+    n_ckpt = (int(max_steps) // stride + 1) if (
+        record_knots and stride > 1
+    ) else 0
+    use_ks = bool(record_ks) and record_knots
+
+    call = _build_call(
+        precision, float(rtol), float(atol), B, F_pad, F, 0, tb,
+        n_save, int(max_steps), n_dense, use_reservoir, stride, n_ckpt,
+        use_ks, int(vmem_est) + 6 * 1024 * 1024, _interpret(), spec,
+    )
+
+    if F_pad != F:
+        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
+        u0_in, k1_in = fpad(u0), fpad(k1_0)
+    else:
+        u0_in, k1_in = u0, k1_0
+    weights = pack_chain_weights(params, spec, keys, dims)
+
+    sc = jnp.stack([t0, t_end, dt_init.astype(jnp.float32)])
+    args = [sc, jnp.asarray(saveat_arr, jnp.float32)]
+    if use_reservoir:
+        args.append(
+            jax.random.uniform(reservoir_key, (int(max_steps),), jnp.float32)
+        )
+    args += [u0_in, k1_in] + weights
+
+    outs = call(*args)
+    i = 0
+    y_final = outs[i][:, :F]; i += 1
+    ys = outs[i][:, :, :F]; i += 1
+    stats_i = outs[i]; i += 1
+    stats_f = outs[i]; i += 1
+    res_u = None
+    if use_reservoir:
+        res_u = outs[i][:, :F]; i += 1
+    knot_ts = knot_us = knot_ks = None
+    ckpt_ts = ckpt_us = ckpt_ks = None
+    ckpt_dts = ckpt_qolds = None
+    if record_knots:
         knot_ts = outs[i]; i += 1
         knot_us = outs[i].reshape(n_dense, B, F_pad); i += 1
         if use_ks:

@@ -19,14 +19,19 @@ WHOLE sweep in one program:
 - saveat cotangents are injected at the steps whose interval contains each
   output time, with the Tsit5 free-interpolant weights — identical math to
   the XLA sweep (``stored_adjoint.make_sweep_body``). ``ct_ys`` rides in
-  VMEM, so the kernel is gated to small ``n_save`` (the fused TD-MLP
-  family's training configs use 1–2 saveat points).
+  VMEM, so the kernel is gated on the VMEM plan.
 
-**Two-level mode** (``persistent_two_level_sweep``): for the reference's
-``maxiters = 10_000`` capacity (``construct.jl:196``), the forward records
-dense knots only up to ``dense_cap`` accepted steps plus every-W-th
-replayable checkpoint (``fused_solve.py``). The kernel then branches
-per-solve IN-KERNEL:
+**Dynamics families**: the Tsit5 stage-chain transpose (stage-input
+reconstruction, ``d_x_pending`` flow, FSAL carry) is family-agnostic; the
+per-eval forward-keep / vjp / weight-grad-flush hooks are provided per
+family (``fused_solve`` family specs): the TDChain TD-MLP (flagship) and
+the autonomous Dense chain (latent-ODE gen dynamics,
+``construct.jl:241-245``).
+
+**Two-level mode**: for the reference's ``maxiters = 10_000`` capacity
+(``construct.jl:196``), the forward records dense knots only up to
+``dense_cap`` accepted steps plus every-W-th replayable checkpoint
+(``fused_solve.py``). The kernel then branches per-solve IN-KERNEL:
 
 - ``naccept <= dense_cap`` (the common case): the dense sweep above;
 - longer solves: one W-step window at a time, REPLAYED in-kernel from its
@@ -42,7 +47,7 @@ What stays in XLA (once per solve, not per step): the FSAL-chain closure
 cotangent passthrough — see ``stored_adjoint.core_bwd``.
 
 Precision policy matches ``fused_mlp_bwd``: forward-recompute dots run at
-``precision`` (stage values must track the forward trajectory at tight
+``precision`` (stage values must match the forward trajectory at tight
 tolerances); cotangent/weight-grad dots run at ``grad_precision``. The
 window replay runs at ``precision`` (it must track the forward exactly).
 """
@@ -59,24 +64,176 @@ from jax.experimental.pallas import tpu as pltpu
 from ...ode.controller import PIController
 from ...ode.tableaus import Tsit5Tableau as T
 from ...ode.tableaus import tsit5_interp_weights
-from .fused_mlp import _eval_mlp, _split_params
+from .fused_mlp import _split_params
 from .fused_mlp_bwd import _stage_coeffs
+from .fused_solve import _chain_plan
 from .fused_solve import _plan as _fwd_plan
-from .fused_solve import _propose, run_attempt_tiles
+from .fused_solve import (
+    _propose,
+    family_make_f,
+    family_n_weights,
+    pack_chain_weights,
+    run_attempt_tiles,
+)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-_VMEM_BUDGET = 88 * 1024 * 1024  # v5e VMEM is 128 MB physical (measured)
+_VMEM_BUDGET = 88 * 1024 * 1024
 _MAX_NSAVE = 2
+_MAX_NSAVE_CHAIN = 64
+
+
+# ---------------------------------------------------------------------------
+# family hooks for the stage transpose
+
+
+def _family_grad_shapes(family, F, H_pad):
+    """Shapes of the weight-gradient output refs, in operand order."""
+    if family[0] == "tdmlp":
+        return [(F, H_pad), (1, H_pad), (1, H_pad), (H_pad, F), (1, F),
+                (1, F)]
+    _, pads, _, _ = family
+    shapes = []
+    for i in range(len(pads) - 1):
+        shapes += [(pads[i], pads[i + 1]), (1, pads[i + 1])]
+    return shapes
+
+
+def _family_hooks(family, precision, grad_precision, tb):
+    """(read, eval_keep, make_stash, vjp, flush) for the stage transpose.
+
+    ``eval_keep(wvals, x, s) -> (k, aux)`` — one dynamics eval keeping the
+    intermediates the vjp needs. ``vjp(wvals, dk, aux, stash, i_s) -> dx``
+    — transpose one eval, stashing per-stage weight-grad operands.
+    ``flush(wvals, grefs, stash)`` — stage-batched weight-grad
+    contractions RMW'd into the grad refs (K = 6·tb instead of six K = tb
+    contractions per weight — fills the MXU K pipeline; the fused_mlp_bwd
+    trick)."""
+    if family[0] == "tdmlp":
+        def read(wrefs):
+            return tuple(r[:] for r in wrefs)
+
+        def eval_keep(wv, x, s):
+            w1, b1, w1t, w2, b2, w2t = wv
+            h = jnp.tanh(
+                jnp.dot(x, w1, preferred_element_type=jnp.float32,
+                        precision=precision) + b1 + s * w1t
+            )
+            k = jnp.dot(
+                h, w2, preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + b2 + s * w2t
+            return k, (x, h, s)
+
+        def make_stash():
+            return {"aux": [None] * 6, "dz": [None] * 6, "dk": [None] * 6}
+
+        def vjp(wv, dk, aux, stash, i_s):
+            w1 = wv[0]
+            w2 = wv[3]
+            x, h, s = aux
+            dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32,
+                         precision=grad_precision)
+            dz = dh * (1.0 - h * h)
+            dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32,
+                         precision=grad_precision)
+            stash["aux"][i_s] = aux
+            stash["dz"][i_s] = dz
+            stash["dk"][i_s] = dk
+            return dx
+
+        def flush(wv, grefs, stash):
+            dw1_ref, db1_ref, dw1t_ref, dw2_ref, db2_ref, dw2t_ref = grefs
+            xcat = jnp.concatenate(
+                [stash["aux"][m][0] for m in range(6)], axis=0
+            )
+            hcat = jnp.concatenate(
+                [stash["aux"][m][1] for m in range(6)], axis=0
+            )
+            dzcat = jnp.concatenate(stash["dz"], axis=0)
+            dkcat = jnp.concatenate(stash["dk"], axis=0)
+            srow = jnp.concatenate(
+                [jnp.full((tb, 1), 1.0, jnp.float32) * stash["aux"][m][2]
+                 for m in range(6)], axis=0
+            )
+            dw1_ref[:] += jnp.dot(
+                xcat.T, dzcat, preferred_element_type=jnp.float32,
+                precision=grad_precision,
+            )
+            db1_ref[:] += jnp.sum(dzcat, axis=0, keepdims=True)
+            dw1t_ref[:] += jnp.sum(srow * dzcat, axis=0, keepdims=True)
+            dw2_ref[:] += jnp.dot(
+                hcat.T, dkcat, preferred_element_type=jnp.float32,
+                precision=grad_precision,
+            )
+            db2_ref[:] += jnp.sum(dkcat, axis=0, keepdims=True)
+            dw2t_ref[:] += jnp.sum(srow * dkcat, axis=0, keepdims=True)
+
+        return read, eval_keep, make_stash, vjp, flush
+
+    # autonomous Dense chain
+    _, pads, acts, lead = family
+    L = len(pads) - 1
+
+    def read(wrefs):
+        return tuple(r[:] for r in wrefs)
+
+    def eval_keep(wv, x, s):
+        a = jnp.tanh(x) if lead else x
+        alist = [a]
+        for i in range(L):
+            z = jnp.dot(
+                a, wv[2 * i], preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + wv[2 * i + 1]
+            a = jnp.tanh(z) if acts[i] else z
+            alist.append(a)
+        return a, (x, tuple(alist))
+
+    def make_stash():
+        return {
+            "a": [[None] * 6 for _ in range(L)],
+            "dz": [[None] * 6 for _ in range(L)],
+        }
+
+    def vjp(wv, dk, aux, stash, i_s):
+        x, alist = aux
+        da = dk
+        for l in reversed(range(L)):
+            dz = da * (1.0 - alist[l + 1] * alist[l + 1]) if acts[l] else da
+            stash["a"][l][i_s] = alist[l]
+            stash["dz"][l][i_s] = dz
+            da = jnp.dot(
+                dz, wv[2 * l].T, preferred_element_type=jnp.float32,
+                precision=grad_precision,
+            )
+        return da * (1.0 - alist[0] * alist[0]) if lead else da
+
+    def flush(wv, grefs, stash):
+        for l in range(L):
+            acat = jnp.concatenate(stash["a"][l], axis=0)
+            dzcat = jnp.concatenate(stash["dz"][l], axis=0)
+            grefs[2 * l][:] += jnp.dot(
+                acat.T, dzcat, preferred_element_type=jnp.float32,
+                precision=grad_precision,
+            )
+            grefs[2 * l + 1][:] += jnp.sum(dzcat, axis=0, keepdims=True)
+
+    return read, eval_keep, make_stash, vjp, flush
+
+
+# ---------------------------------------------------------------------------
+# VMEM plans / feasibility
 
 
 def _plan(B: int, F: int, H_pad: int, n_save: int, replay_tile: int = 0):
-    """Sweep tile size under the VMEM budget (or None). ``replay_tile > 0``
-    (two-level mode) additionally budgets the window-replay working set:
-    4 batch-sized state buffers + the forward-tile stage temporaries."""
+    """Sweep tile size under the VMEM budget (or None) — TD-MLP family.
+    ``replay_tile > 0`` (two-level mode) additionally budgets the
+    window-replay working set: 4 batch-sized state buffers + the forward-
+    tile stage temporaries."""
     # residents: ct_y input, a_u, a_k outs, 2-slot knot stage, ct_ys input
     resident = (3 + 2 + n_save) * B * F * 4
     resident += (2 * F * H_pad + 2 * H_pad + 4 * F) * 4  # weights
@@ -90,6 +247,31 @@ def _plan(B: int, F: int, H_pad: int, n_save: int, replay_tile: int = 0):
         # +12 F-tiles / +12 H-tiles for the stage-batched weight-grad
         # concatenations (xcat/dkcat and dzcat/hcat)
         temps = 32 * tb * F * 4 + 20 * tb * H_pad * 4
+        if resident + temps <= _VMEM_BUDGET:
+            return tb, resident + temps
+    return None, None
+
+
+def _chain_sweep_plan(B: int, F_pad: int, family, n_save: int,
+                      replay_tile: int = 0):
+    """Sweep tile size under the VMEM budget — Dense-chain family."""
+    _, pads, _, _ = family
+    L = len(pads) - 1
+    maxp = max(pads)
+    wbytes = sum(
+        pads[i] * pads[i + 1] + pads[i + 1] for i in range(L)
+    ) * 4
+    resident = (3 + 2 + n_save) * B * F_pad * 4 + 2 * wbytes
+    if replay_tile > 0:
+        resident += 4 * B * F_pad * 4
+        resident += 11 * replay_tile * F_pad * 4 \
+            + 3 * replay_tile * maxp * 4
+    for tb in (128, 64, 32, 16, 8):
+        if tb > B or B % tb:
+            continue
+        # auxs: 7 evals × (L+1) activations; stash: 6 stages × L × 2
+        temps = (20 * tb * F_pad
+                 + (7 * (L + 1) + 12 * L) * tb * maxp) * 4
         if resident + temps <= _VMEM_BUDGET:
             return tb, resident + temps
     return None, None
@@ -125,14 +307,51 @@ def sweep_feasible(params, B: int, F: int, n_save: int,
     return _plan(B, F_pad, H_pad, n_save, replay_tile or 0)[0] is not None
 
 
+def _chain_forward_tile(chain_info, B, n_save, use_reservoir):
+    spec, _, _ = chain_info
+    F_pad = spec[1][0]
+    max_pad = max(spec[1])
+    return _chain_plan(
+        B, F_pad, max_pad, family_n_weights(spec), n_save, use_reservoir
+    )[0]
+
+
+def chain_sweep_feasible(chain_info, B: int, n_save: int,
+                         two_level: bool = False,
+                         use_reservoir: bool = False) -> bool:
+    """Dense-chain analog of ``sweep_feasible``."""
+    if n_save > _MAX_NSAVE_CHAIN:
+        return False
+    spec = chain_info[0]
+    F_pad = spec[1][0]
+    replay_tile = 0
+    if two_level:
+        replay_tile = _chain_forward_tile(
+            chain_info, B, n_save, use_reservoir
+        )
+        if replay_tile is None:
+            return False
+    return _chain_sweep_plan(
+        B, F_pad, spec, n_save, replay_tile or 0
+    )[0] is not None
+
+
+# ---------------------------------------------------------------------------
+# kernel
+
+
 def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
                  n_dense, two_level, rtol, atol, max_steps, stride,
-                 dense_cap, tb_f):
+                 dense_cap, tb_f, family):
     n_tiles = B // tb
     coeffs = _stage_coeffs()
     ctrl = PIController()
     inv_n = 1.0 / float(B * F_logical) if two_level else 0.0
     n_tiles_f = B // tb_f if two_level else 0
+    n_w = family_n_weights(family)
+    read_w, eval_keep, make_stash, eval_vjp, flush = _family_hooks(
+        family, precision, grad_precision, tb
+    )
 
     def kernel(*refs):
         it = iter(refs)
@@ -144,12 +363,7 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
             ckpt_ts_ref = next(it)   # SMEM (n_ckpt,)
             ckpt_dts_ref = next(it)
             ckpt_qolds_ref = next(it)
-        w1_ref = next(it)
-        b1_ref = next(it)
-        w1t_ref = next(it)
-        w2_ref = next(it)
-        b2_ref = next(it)
-        w2t_ref = next(it)
+        wrefs = [next(it) for _ in range(n_w)]
         ctys_ref = next(it)          # VMEM (n_save·B, F)
         cty_ref = next(it)           # VMEM (B, F)
         knot_us_ref = next(it)       # ANY (n_dense·B, F)
@@ -158,12 +372,7 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
             ckpt_ks_ref = next(it)   # ANY (n_ckpt·B, F)
         au_ref = next(it)
         ak_ref = next(it)
-        dw1_ref = next(it)
-        db1_ref = next(it)
-        dw1t_ref = next(it)
-        dw2_ref = next(it)
-        db2_ref = next(it)
-        dw2t_ref = next(it)
+        grefs = [next(it) for _ in range(n_w)]
         if two_level:
             local_us_ref = next(it)  # ANY ((W+1)·B, F): replayed window
         stage_ref = next(it)         # VMEM (2B, F)
@@ -180,12 +389,8 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
         # ---- init carries and accumulators
         au_ref[:] = cty_ref[:]
         ak_ref[:] = jnp.zeros_like(ak_ref)
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
-        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        for g in grefs:
+            g[:] = jnp.zeros_like(g)
 
         def knot_dma(src_ref, j, slot):
             return pltpu.make_async_copy(
@@ -217,35 +422,20 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
                 u = stage_ref[pl.ds(slot * B + off, tb), :]
                 # weight refs are read per tile iteration (hoisting big
                 # vector values across loop levels is a Mosaic hazard)
-                w1, b1, w1t = w1_ref[:], b1_ref[:], w1t_ref[:]
-                w2, b2, w2t = w2_ref[:], b2_ref[:], w2t_ref[:]
+                wv = read_w(wrefs)
 
                 # ---- forward recompute (k1 from scratch — FSAL value)
-                def f(x, s):
-                    h = jnp.tanh(
-                        jnp.dot(x, w1, preferred_element_type=jnp.float32,
-                                precision=precision) + b1 + s * w1t
-                    )
-                    return (
-                        jnp.dot(h, w2, preferred_element_type=jnp.float32,
-                                precision=precision) + b2 + s * w2t
-                    ), h
-
-                k1, h1 = f(u, t)
+                k1, aux1 = eval_keep(wv, u, t)
                 ks = [k1]
-                xs = [u]
-                hs = [h1]
-                ss = [t]
+                auxs = [aux1]
                 for (a_row, c) in coeffs:
                     x = u
                     for a, k in zip(a_row, ks):
                         x = x + (dt * a) * k
                     s = t + c * dt
-                    k_new, h = f(x, s)
+                    k_new, aux = eval_keep(wv, x, s)
                     ks.append(k_new)
-                    xs.append(x)
-                    hs.append(h)
-                    ss.append(s)
+                    auxs.append(aux)
 
                 # ---- stage cotangents. saveat hits are rare (≤ n_save
                 # per SOLVE): the cond skips the ct_ys reads and 8×(tb,F)
@@ -283,59 +473,22 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
                 d_x_pending = [zero] * 6
                 d_x_pending[5] = d_x_pending[5] + a_u  # x7 = u_new
 
-                dzs = [None] * 6
-                dks_out = [None] * 6
+                stash = make_stash()
                 for i_s in reversed(range(6)):  # evals producing k2..k7
-                    dk = d_ks[i_s + 1]
-                    h = hs[i_s + 1]
-                    dh = jnp.dot(dk, w2.T, preferred_element_type=jnp.float32,
-                                 precision=grad_precision)
-                    dz = dh * (1.0 - h * h)
-                    dx = jnp.dot(dz, w1.T, preferred_element_type=jnp.float32,
-                                 precision=grad_precision)
-                    dzs[i_s] = dz
-                    dks_out[i_s] = dk
-
+                    dx = eval_vjp(
+                        wv, d_ks[i_s + 1], auxs[i_s + 1], stash, i_s
+                    )
                     dx_total = dx + d_x_pending[i_s]
                     d_u = d_u + dx_total
                     a_row = coeffs[i_s][0]
                     for j_s, a in enumerate(a_row):
                         d_ks[j_s] = d_ks[j_s] + (dt * a) * dx_total
 
-                # weight grads, stage-batched (K = 6·tb instead of six
-                # K = tb contractions per weight — fills the MXU K
-                # pipeline; same trick as fused_mlp_bwd._bwd_kernel)
-                xcat = jnp.concatenate(xs[1:7], axis=0)
-                dzcat = jnp.concatenate(dzs, axis=0)
-                hcat = jnp.concatenate(hs[1:7], axis=0)
-                dkcat = jnp.concatenate(dks_out, axis=0)
-                dw1_acc = jnp.dot(
-                    xcat.T, dzcat, preferred_element_type=jnp.float32,
-                    precision=grad_precision,
-                )
-                dw2_acc = jnp.dot(
-                    hcat.T, dkcat, preferred_element_type=jnp.float32,
-                    precision=grad_precision,
-                )
-                db1_acc = jnp.sum(dzcat, axis=0, keepdims=True)
-                db2_acc = jnp.sum(dkcat, axis=0, keepdims=True)
-                srow = jnp.concatenate(
-                    [jnp.full((tb, 1), 1.0, jnp.float32) * ss[m]
-                     for m in range(1, 7)], axis=0
-                )
-                dw1t_acc = jnp.sum(srow * dzcat, axis=0, keepdims=True)
-                dw2t_acc = jnp.sum(srow * dkcat, axis=0, keepdims=True)
+                flush(wv, grefs, stash)
 
                 # carries: a_u ← d_u + Σ_hit ct ; a_k ← d_k1 + dt·b1(θ)·ct
                 au_ref[pl.ds(off, tb), :] = d_u + d_u_interp
                 ak_ref[pl.ds(off, tb), :] = d_ks[0]
-
-                dw1_ref[:] += dw1_acc
-                db1_ref[:] += db1_acc
-                dw1t_ref[:] += dw1t_acc
-                dw2_ref[:] += dw2_acc
-                db2_ref[:] += db2_acc
-                dw2t_ref[:] += dw2t_acc
                 return 0
 
             lax.fori_loop(0, n_tiles, tile_pass, 0)
@@ -377,11 +530,7 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
 
         @pl.when(naccept > dense_cap)
         def _():
-            def f_fwd(x, s):
-                return _eval_mlp(
-                    x, s, w1_ref[:], b1_ref[:], w1t_ref[:], w2_ref[:],
-                    b2_ref[:], w2t_ref[:], precision,
-                )
+            f_fwd = family_make_f(family, wrefs, precision)
 
             def state_dma(hbm_ref, slot_i, vm_ref, sem_i):
                 return pltpu.make_async_copy(
@@ -475,37 +624,33 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, grad_precision, B, F, F_logical, H_pad, tb,
                 n_save, n_dense, two_level, rtol, atol, max_steps, stride,
-                dense_cap, tb_f, n_ckpt, vmem_limit, interpret):
+                dense_cap, tb_f, n_ckpt, vmem_limit, interpret,
+                family=("tdmlp",)):
     kernel = _make_kernel(
         precision, grad_precision, B, F, F_logical, tb, n_save, n_dense,
-        two_level, rtol, atol, max_steps, stride, dense_cap, tb_f,
+        two_level, rtol, atol, max_steps, stride, dense_cap, tb_f, family,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     any_ = lambda: pl.BlockSpec(memory_space=pl.ANY)  # noqa: E731
 
+    n_w = family_n_weights(family)
     in_specs = [smem(), smem(), smem()]
     if two_level:
         in_specs += [smem(), smem(), smem(), smem()]
-    in_specs += [vmem()] * 6      # weights
+    in_specs += [vmem()] * n_w    # weights
     in_specs += [vmem(), vmem()]  # ct_ys (n_save·B, F), ct_y
     in_specs += [any_()]          # knot_us (n_dense·B, F)
     if two_level:
         in_specs += [any_(), any_()]  # ckpt_us, ckpt_ks
 
-    out_specs = [
-        vmem(), vmem(),
-        vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
-    ]
+    out_specs = [vmem(), vmem()] + [vmem()] * n_w
     out_shape = [
         jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_u
         jax.ShapeDtypeStruct((B, F), jnp.float32),      # a_k
-        jax.ShapeDtypeStruct((F, H_pad), jnp.float32),
-        jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
-        jax.ShapeDtypeStruct((1, H_pad), jnp.float32),
-        jax.ShapeDtypeStruct((H_pad, F), jnp.float32),
-        jax.ShapeDtypeStruct((1, F), jnp.float32),
-        jax.ShapeDtypeStruct((1, F), jnp.float32),
+    ] + [
+        jax.ShapeDtypeStruct(s, jnp.float32)
+        for s in _family_grad_shapes(family, F, H_pad)
     ]
     if two_level:
         # HBM scratch for the replayed window (outputs are the only way
@@ -681,3 +826,93 @@ def persistent_two_level_sweep(params, knot_ts, knot_us, naccept,
             stride + 1, B, F_pad
         )
     return _unpack_out(out, params, F, H_pad)
+
+
+def persistent_chain_sweep(params, chain_info, knot_ts, knot_us, naccept,
+                           saveat_arr, ct_ys, ct_y, *, two_level_ctx=None,
+                           precision=None, grad_precision=None):
+    """Dense-chain (latent gen-dynamics) stored-adjoint sweep — dense and
+    two-level modes in one entry point. Returns ``(a_u, a_k, d_params)``
+    with ``d_params`` in the chain's param-tree structure (zeros for
+    parameterless layers), or ``None`` on decline."""
+    spec, keys, dims = chain_info
+    B, F = ct_y.shape
+    n_save = int(saveat_arr.shape[0])
+    if n_save > _MAX_NSAVE_CHAIN:
+        return None
+    F_pad = knot_us.shape[-1]
+    if F_pad % 128 != 0 and not _interpret():
+        return None
+    if F_pad != spec[1][0]:
+        return None
+    two_level = two_level_ctx is not None
+    tb_f = 0
+    if two_level:
+        tb_f = _chain_forward_tile(
+            chain_info, B, n_save, two_level_ctx["use_reservoir"]
+        )
+        if tb_f is None:
+            return None
+    tb, vmem_est = _chain_sweep_plan(
+        B, F_pad, spec, n_save, replay_tile=tb_f
+    )
+    if tb is None:
+        return None
+    n_dense = knot_us.shape[0]
+
+    weights = pack_chain_weights(params, spec, keys, dims)
+    if F_pad != F:
+        ct_y_in = jnp.pad(ct_y, ((0, 0), (0, F_pad - F)))
+        ct_ys_in = jnp.pad(ct_ys, ((0, 0), (0, 0), (0, F_pad - F)))
+    else:
+        ct_y_in, ct_ys_in = ct_y, ct_ys
+
+    if two_level:
+        c = two_level_ctx
+        n_ckpt = c["ckpt_us"].shape[0]
+        call = _build_call(
+            precision, grad_precision, B, F_pad, F, 0, tb, n_save,
+            n_dense, True, float(c["rtol"]), float(c["atol"]),
+            int(c["max_steps"]), int(c["stride"]), int(c["dense_cap"]),
+            tb_f, n_ckpt, int(vmem_est) + 6 * 1024 * 1024, _interpret(),
+            spec,
+        )
+        sc = jnp.asarray(naccept, jnp.int32)[None]
+        scf = jnp.asarray(c["t_end"], jnp.float32)[None]
+        out = call(
+            sc, jnp.asarray(knot_ts, jnp.float32),
+            jnp.asarray(saveat_arr, jnp.float32),
+            scf,
+            jnp.asarray(c["ckpt_ts"], jnp.float32),
+            jnp.asarray(c["ckpt_dts"], jnp.float32),
+            jnp.asarray(c["ckpt_qolds"], jnp.float32),
+            *weights,
+            ct_ys_in.reshape(n_save * B, F_pad), ct_y_in,
+            knot_us.reshape(n_dense * B, F_pad),
+            c["ckpt_us"].reshape(n_ckpt * B, F_pad),
+            c["ckpt_ks"].reshape(n_ckpt * B, F_pad),
+        )
+    else:
+        call = _build_call(
+            precision, grad_precision, B, F_pad, F, 0, tb, n_save,
+            n_dense, False, 0.0, 0.0, 0, 1, 0, 0, 0,
+            int(vmem_est) + 6 * 1024 * 1024, _interpret(), spec,
+        )
+        sc = jnp.asarray(naccept, jnp.int32)[None]
+        out = call(
+            sc, jnp.asarray(knot_ts, jnp.float32),
+            jnp.asarray(saveat_arr, jnp.float32),
+            *weights,
+            ct_ys_in.reshape(n_save * B, F_pad), ct_y_in,
+            knot_us.reshape(n_dense * B, F_pad),
+        )
+
+    a_u, a_k = out[0], out[1]
+    grads = out[2:2 + len(weights)]
+    # structure-exact param cotangents (zeros for parameterless layers)
+    d_params = jax.tree_util.tree_map(jnp.zeros_like, params)
+    for i, key in enumerate(keys):
+        dw = grads[2 * i][:dims[i], :dims[i + 1]]
+        db = grads[2 * i + 1][0, :dims[i + 1]]
+        d_params = {**d_params, key: {"w": dw, "b": db}}
+    return a_u[:, :F], a_k[:, :F], d_params
