@@ -189,6 +189,75 @@ def _bench(model, loss_fn, nfe_of, n_trials=N_TRIALS, n_iters=N_ITERS):
     )
 
 
+def _latent_bench(n_trials, n_iters):
+    """PhysioNet-config latent-ODE train steps (tol 1.4e-8, maxiters 10k,
+    B=512, adamax) on the persistent chain kernels; returns dynamics
+    evals/s."""
+    import numpy as np
+
+    from localregneuralde_tpu.harness.config import ExperimentConfig
+    from localregneuralde_tpu.harness.construct import (
+        construct_loss,
+        construct_optimizer,
+        construct_time_series,
+    )
+    from localregneuralde_tpu.harness.data import synthetic_physionet
+    from localregneuralde_tpu.harness.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = ExperimentConfig()
+    cfg.model.model_type = "time_series"
+    cfg.model.regularize = "unbiased"
+    cfg.model.solver.abstol = 1.4e-8
+    cfg.model.solver.reltol = 1.4e-8
+    cfg.model.solver.max_steps = 10000
+    cfg.model.solver.checkpoint_every = 0
+    cfg.model.solver.adjoint = "stored"
+    cfg.loss.w_reg_start = 100.0
+    cfg.loss.w_reg_end = 10.0
+    cfg.optimizer.optimizer = "adamax"
+    cfg.optimizer.learning_rate = 0.01
+
+    data, mask, tgrid = synthetic_physionet(
+        n=2048, t_steps=49, features=37, seed=0
+    )
+    dt = np.concatenate([tgrid[1:] - tgrid[:-1], [0.0]]).astype("float32")
+    dtb = np.broadcast_to(dt[None, :, None], (2048, 49, 1)).copy()
+
+    model = construct_time_series(cfg, saveat=jnp.asarray(tgrid))
+    loss_fn, _ = construct_loss(cfg)
+    optimizer, _ = construct_optimizer(cfg)
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+    step = make_train_step(model, loss_fn, optimizer)
+
+    batches = []
+    rng = np.random.RandomState(11)
+    for _ in range(8):
+        idx = rng.randint(0, 2048, 512)
+        batches.append((
+            jnp.asarray(data[idx]), jnp.asarray(mask[idx]),
+            jnp.asarray(dtb[idx]),
+        ))
+
+    ts, loss, st = step(ts, batches[0], (100.0, 0.1), 0.01)
+    loss.block_until_ready()
+    rates = []
+    it = 1
+    for _ in range(n_trials):
+        nfes = []
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            ts, loss, st = step(ts, batches[it % 8], (100.0, 0.1), 0.01)
+            nfes.append(st["nfe"])
+            it += 1
+        _ = float(loss)
+        rates.append(int(jnp.sum(jnp.stack(nfes))) /
+                     (time.perf_counter() - t0))
+    return _trimmed_median(rates)
+
+
 def main():
     # ---- headline: flagship ODE at rtol 1e-4
     model, loss_fn, nfe_of = _flagship_ode(1e-4, 64)
@@ -216,6 +285,17 @@ def main():
 
         traceback.print_exc(file=sys.stderr)
         paper_rate = None
+
+    # ---- latent-ODE (PhysioNet paper config) on the persistent chain
+    # kernels — dynamics evals/s through full train steps
+    try:
+        latent_rate = _latent_bench(n_trials=3, n_iters=10)
+    except Exception as e:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        latent_rate = None
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
@@ -248,6 +328,8 @@ def main():
         out["sde_evals_per_sec"] = round(sde_rate, 1)
     if paper_rate is not None:
         out["paper_tol_nfe_per_sec"] = round(paper_rate, 1)
+    if latent_rate is not None:
+        out["latent_nfe_per_sec"] = round(latent_rate, 1)
     print(json.dumps(out))
 
 

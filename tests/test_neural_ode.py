@@ -133,7 +133,12 @@ def test_constructor_validation():
     with pytest.raises(ValueError):
         NeuralODE(dyn, solver="rk4")
     with pytest.raises(ValueError):
-        NeuralODE(dyn, use_pallas=True)  # not a 2-layer TDChain
+        # width-changing chain: matches neither the TD-MLP family nor the
+        # conv family nor the autonomous Dense-chain family
+        NeuralODE(Chain(Dense(2, 3)), use_pallas=True)
+    # a state-preserving Dense chain IS a valid pallas family now (the
+    # latent gen-dynamics family)
+    assert NeuralODE(dyn, use_pallas=True)._pallas_family == "chain"
     # bool coercion (reference neural_ode.jl:14-16)
     assert NeuralODE(dyn, regularize=True).regularize == "unbiased"
     assert NeuralODE(dyn, regularize=False).regularize == "none"
