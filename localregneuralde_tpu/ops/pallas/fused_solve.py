@@ -756,10 +756,16 @@ def match_dense_chain(model):
 
 def _chain_plan(B: int, F_pad: int, max_pad: int, n_weights: int,
                 n_save: int, use_reservoir: bool):
-    """Batch tile under the VMEM budget for the chain family."""
+    """Batch tile under the VMEM budget for the chain family.
+
+    Whole-batch FIRST: the chain state is narrow (F_pad typically 128),
+    so each matmul is tiny and serial-latency-bound — tiling multiplies
+    the serial matmul count for no VMEM benefit (measured 0.62× vs the
+    XLA loop at tb=256 on the PhysioNet config; the TD-MLP's
+    overlap-favoring small tiles don't transfer)."""
     resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F_pad * 4
     resident += n_weights // 2 * (max_pad * max_pad + max_pad) * 4
-    for tb in (256, 128, 64, 32, 16, 8):
+    for tb in (B, 256, 128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
         temps = 11 * tb * F_pad * 4 + 3 * tb * max_pad * 4

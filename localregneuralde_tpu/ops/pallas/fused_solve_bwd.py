@@ -266,7 +266,9 @@ def _chain_sweep_plan(B: int, F_pad: int, family, n_save: int,
         resident += 4 * B * F_pad * 4
         resident += 11 * replay_tile * F_pad * 4 \
             + 3 * replay_tile * maxp * 4
-    for tb in (128, 64, 32, 16, 8):
+    # whole-batch first — see fused_solve._chain_plan (narrow state ⇒
+    # serial-latency-bound; tiling multiplies the serial matmul count)
+    for tb in (B, 128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
         # auxs: 7 evals × (L+1) activations; stash: 6 stages × L × 2

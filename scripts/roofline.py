@@ -53,7 +53,11 @@ def chain_time(step_fn, carry, n1=50, n2=400, outer=3):
 def main():
     out = {"backend": jax.default_backend()}
     B, F, H, Hp = 512, 784, 100, 128
-    key = jax.random.PRNGKey(0)
+    # per-run salt: the axon relay MEMOIZES (executable, inputs) pairs
+    # ACROSS PROCESSES — a re-run with identical seeds returns cached
+    # results for any unchanged measurement (observed: a 205 PF/s "shape
+    # roof"). A fresh key per run makes every carrier unique.
+    key = jax.random.PRNGKey(time.time_ns() % (2**31))
 
     # 1. compute roofs: y <- normalize(y) @ a, 4096^3
     N = 4096
@@ -93,11 +97,14 @@ def main():
         return step
 
     x0 = jax.random.normal(key, (B, F))
+    # long chains: at ~1 µs/iter the default n1/n2 delta (~0.4 ms) can
+    # drown in dispatch jitter and collapse the slope to the 1e-9 floor
+    # (measured: a bit-exact 205,520 "TF/s" = fl_pair/1e-9 twice in a row)
     out["shape_pair_default_tflops"] = fl_pair / chain_time(
-        mk_pair(None), x0
+        mk_pair(None), x0, n1=400, n2=4000
     ) / 1e12
     out["shape_pair_highest_tflops"] = fl_pair / chain_time(
-        mk_pair("highest"), x0
+        mk_pair("highest"), x0, n1=100, n2=1000
     ) / 1e12
 
     # 3. memory roof: x <- x*1.0000001 + 1e-9 over 256 MB (read+write)
