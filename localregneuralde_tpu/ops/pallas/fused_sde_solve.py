@@ -104,9 +104,14 @@ def _norm_icdf(p):
         de = (((d[0] * qt + d[1]) * qt + d[2]) * qt + d[3]) * qt + 1.0
         return nu / de
 
-    x_l = tail(p)
-    x_u = -tail(1.0 - p)
-    return jnp.where(p < _P_LOW, x_l, jnp.where(p > 1.0 - _P_LOW, x_u, x_c))
+    # one tail evaluation on min(p, 1-p), sign-flipped for the upper tail
+    # — bit-identical to evaluating tail(p) and -tail(1-p) separately, at
+    # half the (log+sqrt+rational, all-lanes) tail cost. The descent calls
+    # this 24x per attempt on (2B, F_pad) lanes, so it is the SDE solve
+    # kernel's hottest scalar code.
+    pt = jnp.minimum(p, 1.0 - p)
+    x_t = jnp.where(p < 0.5, 1.0, -1.0) * tail(pt)
+    return jnp.where(pt < _P_LOW, x_t, x_c)
 
 
 def _bits_to_uniform(bits):
