@@ -5,6 +5,7 @@ from .sharded_train import (
     shard_train_state,
     sharding_rules_for_mlp_tp,
 )
+from .shardmap_train import make_shardmap_train_step
 
 __all__ = [
     "data_sharding",
@@ -13,6 +14,7 @@ __all__ = [
     "shard_batch",
     "make_param_shardings",
     "make_sharded_train_step",
+    "make_shardmap_train_step",
     "shard_train_state",
     "sharding_rules_for_mlp_tp",
 ]
