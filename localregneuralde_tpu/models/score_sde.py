@@ -53,7 +53,7 @@ class VPSDE:
 
 
 def sample_vpsde(
-    score_fn: Callable,
+    score_fn: Optional[Callable],
     shape,
     key,
     p=None,
@@ -65,6 +65,8 @@ def sample_vpsde(
     atol: float = 1e-2,
     solver: str = "sri",
     max_steps: int = 256,
+    score_module=None,
+    use_pallas: bool = True,
 ):
     """Draw samples by integrating the reverse-time VP-SDE adaptively.
 
@@ -74,10 +76,24 @@ def sample_vpsde(
     Internally integrates in τ = t1 − t (forward clock): for the reverse SDE
     ``du = f̄ dt + g dW̄`` with dt < 0, substituting τ gives
     ``du = −f̄(u, t1−τ) dτ + g(t1−τ) dWτ`` on τ ∈ [0, t1−t0].
+
+    With ``score_module`` given (a TDChain-of-Dense score net whose params
+    are ``p``), SRI/SOSRI sampling runs on the persistent whole-solve
+    Pallas kernel (``ops/pallas/fused_sde_solve.py``, 'vpsde' family) —
+    score-net stage evaluations, β(t) scaling, and the in-kernel Brownian
+    tree all in one TPU program (a different noise realization than the
+    XLA path's threefry tree, same law) — falling back to the XLA loop
+    when the module/config isn't servable or ``use_pallas=False``.
+    ``score_fn`` may then be None (it is built from the module).
     """
     sde = sde or VPSDE()
     key_init, key_noise = jax.random.split(key)
     u_init = jax.random.normal(key_init, shape)
+
+    if score_fn is None:
+        if score_module is None:
+            raise ValueError("pass score_fn, score_module, or both")
+        score_fn = _raw_module_score_fn(score_module)
 
     def drift(u, tau, p_):
         # reverse drift f̄ = f − g²s = −½βu − βs; in the τ = t1 − t clock
@@ -91,12 +107,70 @@ def sample_vpsde(
         t = t1 - tau
         return jnp.sqrt(sde.beta(t)) * jnp.ones_like(u)
 
+    persistent_fn = None
+    if score_module is not None and use_pallas:
+        persistent_fn = _vpsde_persistent_fn(score_module, sde, t1)
+
     sol = sdesolve(
         drift, diffusion, u_init, (0.0, t1 - t0), p,
         noise_key=key_noise, rtol=rtol, atol=atol, solver=solver,
-        max_steps=max_steps, adjoint="none",
+        max_steps=max_steps, adjoint="none", persistent_fn=persistent_fn,
     )
     return sol.y_final, sol
+
+
+def _raw_module_score_fn(module):
+    """``module_score_fn`` for a stateless module whose raw params are
+    passed as ``p`` (the ``sample_vpsde(score_module=...)`` contract)."""
+    from ..core.containers import ArrayAndTime, get_array
+
+    def score(u, t, p):
+        empty = {name: {} for name in getattr(module, "layers", {})}
+        y, _ = module(p, empty, ArrayAndTime(u, t))
+        return get_array(y)
+
+    return score
+
+
+def _vpsde_persistent_fn(score_module, sde: VPSDE, t1: float):
+    """Persistent-kernel dispatch for ``sample_vpsde``: match the score
+    module to the 'vpsde' kernel family; None (→ the XLA loop) on
+    mismatch. Sampling is never differentiated nor reservoir-sampled, so
+    the wrapper declines those requests."""
+    from ..ops.pallas.fused_sde_solve import (
+        match_td_score_chain,
+        persistent_vpsde_solve,
+    )
+    from ..sde.solve import SDESolution
+
+    info = match_td_score_chain(score_module)
+    if info is None:
+        return None
+
+    def pf(u0, tspan, p, *, noise_key, saveat_arr, rtol, atol, solver,
+           delta, max_steps, record_knots, reservoir_key, brownian_depth,
+           dt0, f_state, g_state):
+        if record_knots or reservoir_key is not None:
+            return None
+        out = persistent_vpsde_solve(
+            p, info, u0, tspan, noise_key=noise_key, rtol=rtol, atol=atol,
+            solver=solver, delta=delta, saveat_arr=saveat_arr,
+            max_steps=max_steps, beta_min=sde.beta_min,
+            beta_max=sde.beta_max, t1=t1, brownian_depth=brownian_depth,
+            dt0=dt0,
+        )
+        if out is None:
+            return None
+        return SDESolution(
+            ts=saveat_arr, ys=out["ys"], t_final=out["t_final"],
+            y_final=out["y_final"], nfe_drift=out["nfe_drift"],
+            nfe_diffusion=out["nfe_diffusion"], naccept=out["naccept"],
+            nreject=out["nreject"], success=out["success"],
+            reservoir_t=jnp.asarray(tspan[0], jnp.float32),
+            reservoir_u=u0, f_state=f_state, g_state=g_state,
+        )
+
+    return pf
 
 
 def sample_probability_flow(

@@ -60,13 +60,96 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 _MAX_NSAVE = 4
 
 
-def _plan(B: int, F: int, H_pad: int, n_save: int) -> bool:
+def _plan(B: int, F: int, n_save: int, w_bytes: int, h_pad: int) -> bool:
     """Whole-batch residency check (no tiling: the SDE family's state is
     narrow). ~14 (B,F) values + 4 (2B,F) noise buffers + stage temps."""
     need = (14 + n_save) * B * F * 4 + 4 * 2 * B * F * 4
-    need += 6 * B * H_pad * 4                       # hidden temporaries
-    need += (F * H_pad + H_pad * F + F * F + 3 * F) * 4  # weights
+    need += 6 * B * h_pad * 4                       # hidden temporaries
+    need += w_bytes
     return need <= _VMEM_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# dynamics families (hashable specs — they feed the _build_call lru_cache,
+# mirroring ops/pallas/fused_solve.py's ODE family registry):
+#   ("mlp", H_pad)
+#       the NeuralDSDE construct.jl:202-210 family — AUTONOMOUS 2-layer
+#       tanh drift MLP + affine diffusion. 6 weight operands:
+#       w1 (F,H) b1 (1,H) w2 (H,F) b2 (1,F) wd (F,F) bd (1,F).
+#   ("vpsde", pads, acts, beta_min, beta_max, t1)
+#       the reverse-time VP-SDE sampling family (models/score_sde.py) in
+#       the τ = t1 − t clock: with t = t1 − τ and β(t) = βmin + t·Δβ,
+#         drift(x, τ)     = ½β(t)·x + β(t)·s_θ(x, t)
+#         diffusion(x, τ) = √β(t) · lane-mask
+#       s_θ = TDChain-of-Dense score net: per layer i the operands are
+#       wx_i (P_{i-1},P_i), wt_i (1,P_i) — the time row of the reference's
+#       (d+1)->h TD weight — and b_i (1,P_i); 3L weight operands total.
+#       The lane mask keeps the state-independent diffusion out of the
+#       padded lanes (otherwise the padded columns random-walk and corrupt
+#       the shared-batch error norm).
+
+
+def sde_family_n_weights(spec) -> int:
+    if spec[0] == "mlp":
+        return 6
+    if spec[0] == "vpsde":
+        return 3 * (len(spec[1]) - 1)
+    raise ValueError(f"unknown SDE dynamics family {spec[0]!r}")
+
+
+def _family_make_fg(spec, wrefs, precision, F_pad, F_logical):
+    """Build the in-kernel ``f(x, tau) -> drift`` and ``g(x, tau) ->
+    diffusion`` evaluations from the weight operand refs. ``tau`` is the
+    solver clock (stage time); autonomous families ignore it."""
+    if spec[0] == "mlp":
+        w1, b1, w2, b2, wd, bd = wrefs
+
+        def f(x, tau):
+            h = jnp.tanh(
+                jnp.dot(x, w1[:], preferred_element_type=jnp.float32,
+                        precision=precision) + b1[:]
+            )
+            return jnp.dot(
+                h, w2[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + b2[:]
+
+        def g(x, tau):
+            return jnp.dot(
+                x, wd[:], preferred_element_type=jnp.float32,
+                precision=precision,
+            ) + bd[:]
+
+        return f, g
+    if spec[0] == "vpsde":
+        _, pads, acts, beta_min, beta_max, t1 = spec
+        L = len(pads) - 1
+        d_beta = beta_max - beta_min
+        mask = (
+            lax.broadcasted_iota(jnp.int32, (1, F_pad), 1) < F_logical
+        ).astype(jnp.float32)
+
+        def beta(tau):
+            return beta_min + (t1 - tau) * d_beta
+
+        def f(x, tau):
+            t = t1 - tau
+            b = beta(tau)
+            a = x
+            for i in range(L):
+                z = jnp.dot(
+                    a, wrefs[3 * i][:],
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ) + t * wrefs[3 * i + 1][:] + wrefs[3 * i + 2][:]
+                a = jnp.tanh(z) if acts[i] else z
+            return (0.5 * b) * x + b * a
+
+        def g(x, tau):
+            return jnp.sqrt(beta(tau)) * mask
+
+        return f, g
+    raise ValueError(f"unknown SDE dynamics family {spec[0]!r}")
 
 
 # Acklam's inverse normal CDF rational approximation (|eps| < 1.15e-9):
@@ -133,7 +216,7 @@ def _bits_to_uniform(bits):
     return jnp.clip(u, 1e-7, 1.0 - 1e-7)
 
 
-def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
+def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, family,
                  n_save, max_steps, n_knot, depth, use_reservoir, tab_name,
                  order, interpret):
     T = get_sri_tableau(tab_name)
@@ -151,12 +234,7 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
         saveat_ref = next(it)  # SMEM (n_save,)
         rand_ref = next(it) if use_reservoir else None
         u0_ref = next(it)
-        w1_ref = next(it)
-        b1_ref = next(it)
-        w2_ref = next(it)
-        b2_ref = next(it)
-        wd_ref = next(it)
-        bd_ref = next(it)
+        wrefs = [next(it) for _ in range(sde_family_n_weights(family))]
         # outputs
         u_ref = next(it)              # (B, F) = y_final / working state
         ys_ref = next(it)             # (n_save, B, F)
@@ -182,21 +260,9 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
         t_span = sc_f[3]
         seed = sc_i[0]
 
-        def f_drift(x):
-            h = jnp.tanh(
-                jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32,
-                        precision=precision) + b1_ref[:]
-            )
-            return jnp.dot(
-                h, w2_ref[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            ) + b2_ref[:]
-
-        def g_diff(x):
-            return jnp.dot(
-                x, wd_ref[:], preferred_element_type=jnp.float32,
-                precision=precision,
-            ) + bd_ref[:]
+        f_drift, g_diff = _family_make_fg(
+            family, wrefs, precision, F, F_logical
+        )
 
         def draw_eps(node):
             """(2B, F) standard normals, a pure function of (seed, node) —
@@ -300,27 +366,30 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
             chi2 = (dW + dZ / sqrt3) * 0.5
             chi3 = (dW * dW * dW - 3.0 * dW * dt_c) / (6.0 * dt_c)
 
+            # stage times match sde/step.py::sri_step exactly (autonomous
+            # families ignore them; the vpsde family's β(t)/score-net time
+            # conditioning depends on them)
             u = u_ref[:]
-            k1 = f_drift(u)
-            g1 = g_diff(u)
+            k1 = f_drift(u, t)
+            g1 = g_diff(u, t + T.c11 * dt_c)
             H01 = u + dt_c * T.a021 * k1 + T.b021 * chi2 * g1
             H11 = u + dt_c * T.a121 * k1 + sqdt * T.b121 * g1
-            k2 = f_drift(H01)
-            g2 = g_diff(H11)
+            k2 = f_drift(H01, t + T.c02 * dt_c)
+            g2 = g_diff(H11, t + T.c12 * dt_c)
             H02 = u + dt_c * (T.a031 * k1 + T.a032 * k2) + chi2 * (
                 T.b031 * g1 + T.b032 * g2
             )
             H12 = u + dt_c * (T.a131 * k1 + T.a132 * k2) + sqdt * (
                 T.b131 * g1 + T.b132 * g2
             )
-            k3 = f_drift(H02)
-            g3 = g_diff(H12)
+            k3 = f_drift(H02, t + T.c03 * dt_c)
+            g3 = g_diff(H12, t + T.c13 * dt_c)
             H03 = u + dt_c * (T.a041 * k1 + T.a042 * k2 + T.a043 * k3) \
                 + chi2 * (T.b041 * g1 + T.b042 * g2 + T.b043 * g3)
             H13 = u + dt_c * (T.a141 * k1 + T.a142 * k2 + T.a143 * k3) \
                 + sqdt * (T.b141 * g1 + T.b142 * g2 + T.b143 * g3)
-            k4 = f_drift(H03)
-            g4 = g_diff(H13)
+            k4 = f_drift(H03, t + T.c04 * dt_c)
+            g4 = g_diff(H13, t + T.c14 * dt_c)
 
             E2 = chi2 * (
                 T.beta31 * g1 + T.beta32 * g2 + T.beta33 * g3
@@ -436,12 +505,12 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, H_pad,
 
 
 @functools.lru_cache(maxsize=None)
-def _build_call(precision, rtol, atol, delta, B, F, F_logical, H_pad,
+def _build_call(precision, rtol, atol, delta, B, F, F_logical, family,
                 n_save, max_steps, n_knot, depth, use_reservoir, tab_name,
                 order, interpret):
     record = n_knot > 0
     kernel = _make_kernel(
-        precision, rtol, atol, delta, B, F, F_logical, H_pad, n_save,
+        precision, rtol, atol, delta, B, F, F_logical, family, n_save,
         max_steps, n_knot, depth, use_reservoir, tab_name, order,
         interpret,
     )
@@ -452,7 +521,7 @@ def _build_call(precision, rtol, atol, delta, B, F, F_logical, H_pad,
     in_specs = [smem(), smem(), smem()]
     if use_reservoir:
         in_specs.append(smem())
-    in_specs += [vmem()] * 7  # u0 + 6 weight operands
+    in_specs += [vmem()] * (1 + sde_family_n_weights(family))
 
     out_specs = [vmem(), vmem(), smem(), smem()]
     out_shape = [
@@ -556,7 +625,12 @@ def persistent_sde_solve(
     H = w1.shape[1]
     F_pad = -(-F // 128) * 128
     H_pad = -(-H // 128) * 128
-    if not _plan(B, F_pad, H_pad, n_save):
+    family = ("mlp", H_pad)
+    w_bytes = (
+        F_pad * H_pad + H_pad + H_pad * F_pad + F_pad
+        + F_pad * F_pad + F_pad
+    ) * 4
+    if not _plan(B, F_pad, n_save, w_bytes, H_pad):
         return None
     if plan_only:
         return True
@@ -591,7 +665,7 @@ def persistent_sde_solve(
 
     call = _build_call(
         precision, float(rtol), float(atol), float(delta), B, F_pad, F,
-        H_pad, n_save, int(max_steps), n_knot, int(brownian_depth),
+        family, n_save, int(max_steps), n_knot, int(brownian_depth),
         reservoir_key is not None, solver, order, _interpret(),
     )
 
@@ -654,4 +728,183 @@ def persistent_sde_solve(
         knot_us=knot_us,
         knot_dws=knot_dws,
         knot_dzs=knot_dzs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the reverse-time VP-SDE sampling family (models/score_sde.py::sample_vpsde
+# — BASELINE config 5, the score-SDE adaptive sampler)
+
+
+def match_td_score_chain(module):
+    """Match a ``TDChain`` of ``Dense`` layers (the reference's
+    time-appended-channel convention, ``src/layers/common.jl:1-45``: layer
+    ``i`` maps ``d_{i-1}+1 -> d_i``) with tanh/identity activations and
+    state-preserving width d0 == dL. Returns ``(dims, acts, keys)`` —
+    the LOGICAL per-layer widths (d0..dL), per-layer tanh flags, and the
+    param keys in order — or ``None``."""
+    from ...models.common import TDChain
+    from ...nn.basic import _ACTIVATIONS, Dense
+
+    if not isinstance(module, TDChain):
+        return None
+    items = list(module.layers.items())
+    if not items or not all(isinstance(l, Dense) for _, l in items):
+        return None
+    ident = (_ACTIVATIONS[None], _ACTIVATIONS["identity"])
+    dims = [items[0][1].in_dim - 1]
+    acts, keys = [], []
+    for key, l in items:
+        if not l.use_bias or l.in_dim != dims[-1] + 1:
+            return None
+        if l.activation is jnp.tanh:
+            acts.append(True)
+        elif any(l.activation is fn for fn in ident):
+            acts.append(False)
+        else:
+            return None
+        dims.append(l.out_dim)
+        keys.append(key)
+    if dims[0] != dims[-1] or dims[0] < 1:
+        return None
+    return tuple(dims), tuple(acts), tuple(keys)
+
+
+def td_score_eval_pure(params, keys, acts, x, t, precision=None):
+    """Unpadded pure-JAX twin of the in-kernel TD score-chain eval: layer
+    weights are the reference (d+1, h) TD matrices whose LAST row is the
+    time weight (the concatenated ones·t channel). Used for the HNW dt
+    heuristic and kernel-parity tests."""
+    a = x
+    for key, act in zip(keys, acts):
+        w = params[key]["w"]
+        z = jnp.dot(
+            a, w[:-1], preferred_element_type=jnp.float32,
+            precision=precision,
+        ) + t * w[-1] + params[key]["b"]
+        a = jnp.tanh(z) if act else z
+    return a
+
+
+def persistent_vpsde_solve(
+    params,
+    chain_info,
+    u0: jnp.ndarray,
+    tspan,
+    *,
+    noise_key,
+    rtol: float,
+    atol: float,
+    solver: str,
+    delta: float,
+    saveat_arr: jnp.ndarray,
+    max_steps: int,
+    beta_min: float,
+    beta_max: float,
+    t1: float,
+    brownian_depth: int = 24,
+    precision=None,
+    dt0=None,
+    plan_only: bool = False,
+):
+    """``persistent_sde_solve`` for the reverse-time VP-SDE sampling family:
+    the whole adaptive SRI/SOSRI reverse-SDE solve — score-net stage
+    evaluations, β(t) drift/diffusion scaling, in-kernel Brownian tree —
+    in one TPU program. ``chain_info = (dims, acts, keys)`` from
+    ``match_td_score_chain``. Sampling is never differentiated, so there
+    is no knot/reservoir machinery. Returns the output dict or None when
+    the configuration isn't servable."""
+    if solver not in ("sri", "sosri"):
+        return None
+    if u0.ndim != 2 or u0.dtype != jnp.float32 or u0.shape[0] % 8:
+        return None
+    dims, acts, keys = chain_info
+    B, F = u0.shape
+    if dims[0] != F:
+        return None
+    n_save = int(saveat_arr.shape[0])
+    if n_save > _MAX_NSAVE:
+        return None
+    pads = tuple(-(-d // 128) * 128 for d in dims)
+    family = ("vpsde", pads, acts, float(beta_min), float(beta_max),
+              float(t1))
+    w_bytes = sum(
+        (pads[i] * pads[i + 1] + 2 * pads[i + 1]) * 4
+        for i in range(len(dims) - 1)
+    )
+    F_pad = pads[0]
+    if not _plan(B, F_pad, n_save, w_bytes, max(pads)):
+        return None
+    if plan_only:
+        return True
+
+    t0 = jnp.asarray(tspan[0], jnp.float32)
+    t_end = jnp.asarray(tspan[1], jnp.float32)
+    order = 1.5
+
+    # initial drift + dt heuristic outside the kernel (1 drift NFE;
+    # identical formulas to sde/solve.py). At τ = t0 the real time is
+    # t1 − t0 (the sampler starts at the noise end of the schedule).
+    t_real0 = float(t1) - t0
+    b0 = float(beta_min) + t_real0 * (float(beta_max) - float(beta_min))
+    s0 = td_score_eval_pure(params, keys, acts, u0, t_real0, precision)
+    f0 = 0.5 * b0 * u0 + b0 * s0
+    if dt0 is None:
+        sc = atol + jnp.abs(u0) * rtol
+        d0 = internal_norm(u0 / sc)
+        d1 = internal_norm(f0 / sc)
+        dt_init = jnp.where(
+            (d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+            0.01 * d0 / jnp.where(d1 == 0, 1.0, d1),
+        )
+        dt_init = jnp.minimum(dt_init, (t_end - t0) / 2)
+    else:
+        dt_init = jnp.asarray(dt0, jnp.float32)
+    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+
+    call = _build_call(
+        precision, float(rtol), float(atol), float(delta), B, F_pad, F,
+        family, n_save, int(max_steps), 0, int(brownian_depth),
+        False, solver, order, _interpret(),
+    )
+
+    kd = jax.random.key_data(jax.random.fold_in(noise_key, 7))
+    seed = (kd[0].astype(jnp.int32) ^ (kd[1].astype(jnp.int32)
+                                       * jnp.int32(-1640531527)))
+    sc_f = jnp.stack([
+        t0, t_end, dt_init.astype(jnp.float32), (t_end - t0)
+    ])
+    sc_i = jnp.stack([seed, jnp.int32(0)])
+    args = [sc_f, sc_i, jnp.asarray(saveat_arr, jnp.float32)]
+    args.append(jnp.pad(u0, ((0, 0), (0, F_pad - F))))
+    for i, key in enumerate(keys):
+        w = params[key]["w"]
+        b = params[key]["b"]
+        args.append(jnp.pad(
+            w[:-1], ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
+        ))
+        args.append(jnp.pad(
+            w[-1], (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+        args.append(jnp.pad(
+            b, (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+
+    y_final, ys, stats_i, stats_f = call(*args)
+    natt = stats_i[3]
+    return dict(
+        y_final=y_final[:, :F],
+        ys=ys[:, :, :F],
+        naccept=stats_i[0],
+        nreject=stats_i[1],
+        success=stats_i[2].astype(jnp.bool_),
+        nfe_drift=jnp.asarray(1, jnp.int32) + 4 * natt,
+        nfe_diffusion=4 * natt,
+        t_final=stats_f[0],
+        reservoir_t=None,
+        reservoir_u=None,
+        knot_ts=None,
+        knot_us=None,
+        knot_dws=None,
+        knot_dzs=None,
     )

@@ -150,10 +150,13 @@ def main():
             return score_apply(p_, u, t)
 
         for rtol in (3e-1, 1e-1, 3e-2, 1e-2):
+            # score_module engages the persistent whole-solve Pallas
+            # kernel ('vpsde' family, fused_sde_solve.py) when servable;
+            # score_fn remains the XLA-loop fallback
             samp, sol = jax.jit(
                 lambda key, p_, r=rtol: sample_vpsde(
                     score_fn, (4096, 2), key, p_, rtol=r, atol=r,
-                    solver="sosri", max_steps=4096,
+                    solver="sosri", max_steps=4096, score_module=net,
                 )
             )(jax.random.PRNGKey(7), p)
             nfe = int(sol.nfe_drift) + int(sol.nfe_diffusion)
