@@ -174,7 +174,7 @@ def _vpsde_persistent_fn(score_module, sde: VPSDE, t1: float):
 
 
 def sample_probability_flow(
-    score_fn: Callable,
+    score_fn: Optional[Callable],
     shape,
     key,
     p=None,
@@ -185,11 +185,24 @@ def sample_probability_flow(
     rtol: float = 1e-4,
     atol: float = 1e-6,
     max_steps: int = 256,
+    score_module=None,
+    use_pallas: bool = True,
 ):
     """Deterministic probability-flow ODE sampler (adaptive Tsit5):
-    du/dt = −½β(t)(u + s_θ(u, t)) integrated from t1 down to t0."""
+    du/dt = −½β(t)(u + s_θ(u, t)) integrated from t1 down to t0.
+
+    With ``score_module`` given (a TDChain-of-Dense score net whose params
+    are ``p``), the whole adaptive Tsit5 solve runs on the persistent
+    Pallas kernel (``ops/pallas/fused_solve.py``, 'pfode' family). Unlike
+    the SDE sampler there is no noise realization: the kernel and the XLA
+    loop integrate the same ODE and agree to solver accuracy."""
     sde = sde or VPSDE()
     u_init = jax.random.normal(key, shape)
+
+    if score_fn is None:
+        if score_module is None:
+            raise ValueError("pass score_fn, score_module, or both")
+        score_fn = _raw_module_score_fn(score_module)
 
     def dynamics(u, tau, p_):
         t = t1 - tau
@@ -197,11 +210,53 @@ def sample_probability_flow(
         du_dt = -0.5 * b * (u + score_fn(u, t, p_))
         return -du_dt
 
+    persistent_fn = None
+    if score_module is not None and use_pallas:
+        persistent_fn = _pf_persistent_fn(score_module, sde, t1)
+
     sol = odesolve(
         dynamics, u_init, (0.0, t1 - t0), p,
         rtol=rtol, atol=atol, max_steps=max_steps, adjoint="none",
+        persistent_fn=persistent_fn,
     )
     return sol.y_final, sol
+
+
+def _pf_persistent_fn(score_module, sde: VPSDE, t1: float):
+    """Persistent-kernel dispatch for ``sample_probability_flow``: match
+    the score module to the 'pfode' Tsit5 kernel family; None (→ the XLA
+    loop) on mismatch. Sampling is never differentiated nor
+    reservoir-sampled, so the wrapper declines those requests."""
+    from ..ode.solve import ODESolution
+    from ..ops.pallas.fused_solve import persistent_pf_solve
+    from ..ops.pallas.fused_sde_solve import match_td_score_chain
+
+    info = match_td_score_chain(score_module)
+    if info is None:
+        return None
+
+    def pf(u0, tspan, p, *, saveat_arr, rtol, atol, max_steps,
+           record_knots, knot_dense_cap, reservoir_key, dt0, f_state,
+           knot_stride=1, plan_only=False):
+        if record_knots or reservoir_key is not None:
+            return None
+        out = persistent_pf_solve(
+            p, info, u0, tspan, rtol=rtol, atol=atol,
+            saveat_arr=saveat_arr, max_steps=max_steps,
+            beta_min=sde.beta_min, beta_max=sde.beta_max, t1=t1,
+            dt0=dt0, plan_only=plan_only,
+        )
+        if out is None or plan_only:
+            return out
+        return ODESolution(
+            ts=saveat_arr, ys=out["ys"], t_final=out["t_final"],
+            y_final=out["y_final"], nfe=out["nfe"],
+            naccept=out["naccept"], nreject=out["nreject"],
+            success=out["success"], reservoir_t=None, reservoir_u=None,
+            f_state=f_state,
+        )
+
+    return pf
 
 
 def gaussian_score_fn(mean=0.0, var=1.0, sde: Optional[VPSDE] = None):

@@ -96,6 +96,18 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 #                                     ``lead`` a leading elementwise tanh
 #                                     (2L operands: w_i (P_{i-1}, P_i),
 #                                     b_i (1, P_i))
+#   ("pfode", pads, acts, beta_min, beta_max, t1)
+#                                   — the probability-flow VP-SDE sampler
+#                                     (models/score_sde.py) in the
+#                                     τ = t1 − t clock: with t = t1 − τ
+#                                     and β(t) = βmin + t·Δβ,
+#                                     f(x, τ) = ½β(t)·(x + s_θ(x, t)).
+#                                     s_θ = TDChain-of-Dense score net
+#                                     (fused_sde_solve.match_td_score_chain):
+#                                     per layer wx_i (P_{i-1},P_i),
+#                                     wt_i (1,P_i) — the time row of the
+#                                     reference's (d+1)->h TD weight —
+#                                     and b_i (1,P_i); 3L operands.
 
 
 def family_n_weights(spec) -> int:
@@ -103,6 +115,8 @@ def family_n_weights(spec) -> int:
         return 6
     if spec[0] == "chain":
         return 2 * (len(spec[1]) - 1)
+    if spec[0] == "pfode":
+        return 3 * (len(spec[1]) - 1)
     raise ValueError(f"unknown dynamics family {spec[0]!r}")
 
 
@@ -121,11 +135,10 @@ def family_make_f(spec, wrefs, precision):
         return f
     if spec[0] == "chain":
         _, dims, acts, lead = spec
-        L = len(dims) - 1
 
         def f(x, s):
             a = jnp.tanh(x) if lead else x
-            for i in range(L):
+            for i in range(len(dims) - 1):
                 z = jnp.dot(
                     a, wrefs[2 * i][:],
                     preferred_element_type=jnp.float32,
@@ -133,6 +146,25 @@ def family_make_f(spec, wrefs, precision):
                 ) + wrefs[2 * i + 1][:]
                 a = jnp.tanh(z) if acts[i] else z
             return a
+
+        return f
+    if spec[0] == "pfode":
+        _, pads, acts, beta_min, beta_max, t1 = spec
+        d_beta = beta_max - beta_min
+
+        def f(x, s):
+            t = t1 - s
+            b = beta_min + t * d_beta
+            a = x
+            for i in range(len(pads) - 1):
+                z = jnp.dot(
+                    a, wrefs[3 * i][:],
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                ) + t * wrefs[3 * i + 1][:] + wrefs[3 * i + 2][:]
+                a = jnp.tanh(z) if acts[i] else z
+            # padded lanes of x and a are exact zeros, so f's are too
+            return (0.5 * b) * (x + a)
 
         return f
     raise ValueError(f"unknown dynamics family {spec[0]!r}")
@@ -937,5 +969,136 @@ def persistent_chain_solve(
         ckpt_ks=ckpt_ks,
         ckpt_dts=ckpt_dts,
         ckpt_qolds=ckpt_qolds,
+        forward_tile=tb,
+    )
+
+
+# ---------------------------------------------------------------------------
+# the probability-flow VP-SDE sampling family (models/score_sde.py::
+# sample_probability_flow — the deterministic counterpart of the 'vpsde'
+# SDE kernel family; BASELINE config 5)
+
+
+def persistent_pf_solve(
+    params,
+    chain_info,
+    u0: jnp.ndarray,
+    tspan,
+    *,
+    rtol: float,
+    atol: float,
+    saveat_arr: jnp.ndarray,
+    max_steps: int,
+    beta_min: float,
+    beta_max: float,
+    t1: float,
+    precision=None,
+    dt0=None,
+    plan_only: bool = False,
+):
+    """``persistent_tsit5_solve`` for the probability-flow VP-SDE sampling
+    family: the whole adaptive Tsit5 solve of
+    du/dτ = ½β(t)·(u + s_θ(u, t)), t = t1 − τ, in one TPU program.
+    ``chain_info = (dims, acts, keys)`` from
+    ``fused_sde_solve.match_td_score_chain`` (the score net is the SAME
+    TDChain-of-Dense family the SDE sampler kernel serves). Sampling is
+    never differentiated nor reservoir-sampled, so there is no knot or
+    reservoir machinery. Returns the output dict or None when the
+    configuration isn't servable."""
+    from .fused_sde_solve import td_score_eval_pure
+
+    if u0.ndim != 2 or u0.dtype != jnp.float32:
+        return None
+    dims, acts, keys = chain_info
+    B, F = u0.shape
+    if F != dims[0]:
+        return None
+    n_save = int(saveat_arr.shape[0])
+    pads = tuple(-(-d // 128) * 128 for d in dims)
+    spec = ("pfode", pads, tuple(acts), float(beta_min), float(beta_max),
+            float(t1))
+    F_pad = pads[0]
+    max_pad = max(pads)
+    tb, vmem_est = _chain_plan(
+        B, F_pad, max_pad, family_n_weights(spec), n_save, False
+    )
+    if tb is None:
+        return None
+    if plan_only:
+        return True
+
+    t0 = jnp.asarray(tspan[0], jnp.float32)
+    t_end = jnp.asarray(tspan[1], jnp.float32)
+    d_beta = float(beta_max) - float(beta_min)
+
+    def pf_eval(u, tau):
+        t = float(t1) - tau
+        b = float(beta_min) + t * d_beta
+        s = td_score_eval_pure(params, keys, acts, u, t, precision)
+        return 0.5 * b * (u + s)
+
+    def fn(u, tau, p, st):
+        return pf_eval(u, tau), st
+
+    k1_0 = pf_eval(u0, t0)
+    nfe0 = jnp.asarray(1, jnp.int32)
+    if dt0 is None:
+        dt_init, extra = initial_step_size(
+            fn, u0, t0, params, None, order=5, rtol=rtol, atol=atol,
+            f0=k1_0,
+        )
+        nfe0 = nfe0 + extra
+    else:
+        dt_init = jnp.asarray(dt0, jnp.float32)
+    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+
+    call = _build_call(
+        precision, float(rtol), float(atol), B, F_pad, F, 0, tb,
+        n_save, int(max_steps), 0, False, 1, 0, False,
+        int(vmem_est) + 6 * 1024 * 1024, _interpret(), spec,
+    )
+
+    if F_pad != F:
+        fpad = lambda a: jnp.pad(a, ((0, 0), (0, F_pad - F)))  # noqa: E731
+        u0_in, k1_in = fpad(u0), fpad(k1_0)
+    else:
+        u0_in, k1_in = u0, k1_0
+    weights = []
+    for i, key in enumerate(keys):
+        w = params[key]["w"]
+        b = params[key]["b"]
+        weights.append(jnp.pad(
+            w[:-1], ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
+        ))
+        weights.append(jnp.pad(
+            w[-1], (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+        weights.append(jnp.pad(
+            b, (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+
+    sc = jnp.stack([t0, t_end, dt_init.astype(jnp.float32)])
+    args = [sc, jnp.asarray(saveat_arr, jnp.float32), u0_in, k1_in]
+    args += weights
+
+    y_final, ys, stats_i, stats_f = call(*args)
+    return dict(
+        y_final=y_final[:, :F],
+        ys=ys[:, :, :F],
+        naccept=stats_i[0],
+        nreject=stats_i[1],
+        success=stats_i[2].astype(jnp.bool_),
+        nfe=nfe0 + 6 * stats_i[3],
+        t_final=stats_f[0],
+        reservoir_t=None,
+        reservoir_u=None,
+        knot_ts=None,
+        knot_us=None,
+        knot_ks=None,
+        ckpt_ts=None,
+        ckpt_us=None,
+        ckpt_ks=None,
+        ckpt_dts=None,
+        ckpt_qolds=None,
         forward_tile=tb,
     )

@@ -154,3 +154,65 @@ def test_gating_declines_cleanly(monkeypatch):
         rtol=5e-2, atol=5e-2, max_steps=256,
     )
     assert bool(sol.success) and len(calls) == 2
+
+
+# ---------------------------------------------------------------------------
+# probability-flow ODE sampler on the persistent Tsit5 kernel
+# ('pfode' family, fused_solve.py) — deterministic, so unlike the SDE
+# sampler the kernel can be checked for direct numerical parity
+
+
+def test_pf_kernel_matches_xla_loop(monkeypatch):
+    import localregneuralde_tpu.ops.pallas.fused_solve as fso
+    from localregneuralde_tpu.models.score_sde import (
+        sample_probability_flow,
+    )
+
+    mod = _module()
+    params, _ = mod.init(jax.random.PRNGKey(0))
+    calls = []
+    orig = fso.persistent_pf_solve
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fso, "persistent_pf_solve", counted)
+    common = dict(p=params, score_module=mod, rtol=1e-4, atol=1e-6,
+                  max_steps=512)
+    sk, solk = sample_probability_flow(
+        None, (B, F), jax.random.PRNGKey(2), use_pallas=True, **common
+    )
+    sx, solx = sample_probability_flow(
+        None, (B, F), jax.random.PRNGKey(2), use_pallas=False, **common
+    )
+    assert len(calls) == 1
+    assert bool(solk.success) and bool(solx.success)
+    # same ODE, same controller: the accept sequence matches (up to an
+    # ulp-level coin flip on the shared error norm — assert within 1)
+    assert abs(int(solk.naccept) - int(solx.naccept)) <= 1
+    assert abs(int(solk.nfe) - int(solx.nfe)) <= 6
+    scale = float(jnp.abs(sx).max())
+    np.testing.assert_allclose(
+        np.asarray(sk), np.asarray(sx), atol=5e-5 * scale
+    )
+
+
+def test_pf_analytic_gaussian():
+    """With the exact N(0, I) score the PF dynamics vanish identically
+    (du/dt = -beta/2 (u - u) = 0): samples equal the initial noise."""
+    from localregneuralde_tpu.models.score_sde import (
+        sample_probability_flow,
+    )
+
+    mod, params = _neg_identity_score()
+    key = jax.random.PRNGKey(11)
+    s, sol = sample_probability_flow(
+        None, (B, F), key, p=params, score_module=mod,
+        rtol=1e-4, atol=1e-6, max_steps=256,
+    )
+    assert bool(sol.success)
+    u_init = jax.random.normal(key, (B, F))
+    np.testing.assert_allclose(
+        np.asarray(s), np.asarray(u_init), atol=1e-4
+    )
