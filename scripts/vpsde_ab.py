@@ -9,7 +9,10 @@ relay's (executable, inputs) memoization cannot fire; one host readback
 per block as the barrier. Reports per-arm median block rates and the
 paired per-round ratio (median of per-round kernel/xla), plus NFE match.
 
-Usage: python scripts/vpsde_ab.py [rounds=8] [iters_per_block=6] [out.json]
+Usage: python scripts/vpsde_ab.py [rounds=8] [iters_per_block=6] [out.json] [sampler=sde|pf]
+
+``sampler=pf`` measures the deterministic probability-flow sampler
+('pfode' Tsit5 kernel family) instead; NFE there = 2 init + 6/attempt.
 """
 import json
 import sys
@@ -22,7 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from localregneuralde_tpu.models.score_sde import sample_vpsde
+from localregneuralde_tpu.models.score_sde import (
+    sample_probability_flow,
+    sample_vpsde,
+)
 from localregneuralde_tpu.models import TDChain
 from localregneuralde_tpu.nn import Dense
 
@@ -35,6 +41,8 @@ def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     out_path = sys.argv[3] if len(sys.argv) > 3 else "vpsde_ab.json"
+    sampler = sys.argv[4] if len(sys.argv) > 4 else "sde"
+    evals_per_attempt = 8 if sampler == "sde" else 6
 
     net = TDChain(Dense(3, 64, "tanh"), Dense(65, 64, "tanh"), Dense(65, 2))
     params, _ = net.init(jax.random.PRNGKey(0))
@@ -42,11 +50,18 @@ def main():
     def make(use_pallas):
         @jax.jit
         def draw(key):
-            s, sol = sample_vpsde(
-                None, (B, F), key, params, score_module=net,
-                use_pallas=use_pallas, rtol=RTOL, atol=RTOL,
-                solver="sosri", max_steps=MAX_STEPS,
-            )
+            if sampler == "sde":
+                s, sol = sample_vpsde(
+                    None, (B, F), key, params, score_module=net,
+                    use_pallas=use_pallas, rtol=RTOL, atol=RTOL,
+                    solver="sosri", max_steps=MAX_STEPS,
+                )
+            else:
+                s, sol = sample_probability_flow(
+                    None, (B, F), key, params, score_module=net,
+                    use_pallas=use_pallas, rtol=RTOL, atol=1e-4,
+                    max_steps=MAX_STEPS,
+                )
             return (jnp.sum(s), sol.naccept + sol.nreject, sol.naccept,
                     sol.success)
 
@@ -77,7 +92,8 @@ def main():
             last = out[0]
         _ = float(last)  # barrier
         dt = time.perf_counter() - t0
-        return int(tot_natt) * 8 * B / dt, dt  # dynamics evals/s (f+g)
+        # dynamics evals/s (sde: 4 f + 4 g per attempt; pf: 6 f)
+        return int(tot_natt) * evals_per_attempt * B / dt, dt
 
     recs = {"kernel": [], "xla": []}
     ratios = []
@@ -94,7 +110,8 @@ def main():
 
     med = {n: float(np.median(v)) for n, v in recs.items()}
     res = dict(
-        config=dict(B=B, F=F, rtol=RTOL, solver="sosri",
+        config=dict(B=B, F=F, rtol=RTOL, sampler=sampler,
+                    solver="sosri" if sampler == "sde" else "tsit5",
                     max_steps=MAX_STEPS, rounds=rounds, iters=iters),
         kernel_evals_per_sec=med["kernel"],
         xla_evals_per_sec=med["xla"],

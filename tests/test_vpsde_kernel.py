@@ -216,3 +216,61 @@ def test_pf_analytic_gaussian():
     np.testing.assert_allclose(
         np.asarray(s), np.asarray(u_init), atol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# sampler fan-out under shard_map (inference-scale parallel sampling):
+# each shard runs the persistent sampling kernel on its local sub-batch
+# with its own adaptive grid / noise stream
+
+
+def test_sampler_shardmap_fanout(monkeypatch):
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from jax import lax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    mod, params = _neg_identity_score()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
+    calls = []
+    orig = fs.persistent_vpsde_solve
+
+    def counted(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fs, "persistent_vpsde_solve", counted)
+
+    def sample_shard(p):
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(7), lax.axis_index("data")
+        )
+        s, sol = sample_vpsde(
+            None, (32, F), key, p, score_module=mod,
+            rtol=3e-2, atol=3e-2, max_steps=256,
+        )
+        return s, sol.naccept[None], sol.success[None]
+
+    # check_vma=False: pallas_call doesn't declare vma (the same setting
+    # parallel/shardmap_train.py uses for the persistent train kernels)
+    mapped = shard_map(
+        sample_shard, mesh=mesh, in_specs=(P(),),
+        out_specs=(P("data"), P("data"), P("data")), check_vma=False,
+    )
+    s, naccs, oks = jax.jit(mapped)(params)
+    assert len(calls) == 1  # traced once; kernel engaged per shard
+    assert s.shape == (32 * 8, F)
+    assert bool(jnp.all(oks))
+    s = np.asarray(s)
+    # per-shard keys: shards draw DIFFERENT samples
+    assert not np.array_equal(s[:32], s[32:64])
+    # pooled over 256 x F draws, N(0, I) recovery holds
+    assert abs(s.mean()) < 0.1
+    assert abs(s.std() - 1.0) < 0.1
