@@ -786,6 +786,28 @@ def td_score_eval_pure(params, keys, acts, x, t, precision=None):
     return a
 
 
+def pack_td_score_weights(params, keys, dims, pads):
+    """Pad the score chain's TD weights to lane-aligned kernel operands:
+    per layer ``wx`` (the (d, h) state rows), ``wt`` (the time row, the
+    concatenated ones·t channel = LAST row of the reference's (d+1, h) TD
+    matrix), and ``b`` — the operand order both the 'vpsde' SDE family
+    and the 'pfode' Tsit5 family consume."""
+    ops = []
+    for i, key in enumerate(keys):
+        w = params[key]["w"]
+        b = params[key]["b"]
+        ops.append(jnp.pad(
+            w[:-1], ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
+        ))
+        ops.append(jnp.pad(
+            w[-1], (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+        ops.append(jnp.pad(
+            b, (0, pads[i + 1] - dims[i + 1])
+        ).reshape(1, -1))
+    return ops
+
+
 def persistent_vpsde_solve(
     params,
     chain_info,
@@ -877,18 +899,7 @@ def persistent_vpsde_solve(
     sc_i = jnp.stack([seed, jnp.int32(0)])
     args = [sc_f, sc_i, jnp.asarray(saveat_arr, jnp.float32)]
     args.append(jnp.pad(u0, ((0, 0), (0, F_pad - F))))
-    for i, key in enumerate(keys):
-        w = params[key]["w"]
-        b = params[key]["b"]
-        args.append(jnp.pad(
-            w[:-1], ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
-        ))
-        args.append(jnp.pad(
-            w[-1], (0, pads[i + 1] - dims[i + 1])
-        ).reshape(1, -1))
-        args.append(jnp.pad(
-            b, (0, pads[i + 1] - dims[i + 1])
-        ).reshape(1, -1))
+    args += pack_td_score_weights(params, keys, dims, pads)
 
     y_final, ys, stats_i, stats_f = call(*args)
     natt = stats_i[3]

@@ -1063,19 +1063,9 @@ def persistent_pf_solve(
         u0_in, k1_in = fpad(u0), fpad(k1_0)
     else:
         u0_in, k1_in = u0, k1_0
-    weights = []
-    for i, key in enumerate(keys):
-        w = params[key]["w"]
-        b = params[key]["b"]
-        weights.append(jnp.pad(
-            w[:-1], ((0, pads[i] - dims[i]), (0, pads[i + 1] - dims[i + 1]))
-        ))
-        weights.append(jnp.pad(
-            w[-1], (0, pads[i + 1] - dims[i + 1])
-        ).reshape(1, -1))
-        weights.append(jnp.pad(
-            b, (0, pads[i + 1] - dims[i + 1])
-        ).reshape(1, -1))
+    from .fused_sde_solve import pack_td_score_weights
+
+    weights = pack_td_score_weights(params, keys, dims, pads)
 
     sc = jnp.stack([t0, t_end, dt_init.astype(jnp.float32)])
     args = [sc, jnp.asarray(saveat_arr, jnp.float32), u0_in, k1_in]
