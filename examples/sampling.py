@@ -72,10 +72,7 @@ def main():
         from jax import lax
         from jax.sharding import Mesh, PartitionSpec as P
 
-        try:
-            from jax import shard_map
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
+        from localregneuralde_tpu.parallel.compat import shard_map_nocheck
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
 
@@ -89,9 +86,9 @@ def main():
             )
             return out, so.naccept[None]
 
-        s, naccs = jax.jit(shard_map(
-            sample_shard, mesh=mesh, in_specs=(P(),),
-            out_specs=(P("data"), P("data")), check_vma=False,
+        s, naccs = jax.jit(shard_map_nocheck(
+            sample_shard, mesh, in_specs=(P(),),
+            out_specs=(P("data"), P("data")),
         ))(params)
         print(f"fan-out over {n_dev} devices: {s.shape[0]} samples, "
               f"mean={float(s.mean()):+.3f} std={float(s.std()):.3f}, "

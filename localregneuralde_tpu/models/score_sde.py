@@ -84,16 +84,14 @@ def sample_vpsde(
     tree all in one TPU program (a different noise realization than the
     XLA path's threefry tree, same law) — falling back to the XLA loop
     when the module/config isn't servable or ``use_pallas=False``.
-    ``score_fn`` may then be None (it is built from the module).
+    ``score_fn`` must then be None — the XLA-fallback drift is built from
+    the SAME module, so both paths sample the same score.
     """
     sde = sde or VPSDE()
     key_init, key_noise = jax.random.split(key)
     u_init = jax.random.normal(key_init, shape)
 
-    if score_fn is None:
-        if score_module is None:
-            raise ValueError("pass score_fn, score_module, or both")
-        score_fn = _raw_module_score_fn(score_module)
+    score_fn = _resolve_score_fn(score_fn, score_module)
 
     def drift(u, tau, p_):
         # reverse drift f̄ = f − g²s = −½βu − βs; in the τ = t1 − t clock
@@ -117,6 +115,25 @@ def sample_vpsde(
         max_steps=max_steps, adjoint="none", persistent_fn=persistent_fn,
     )
     return sol.y_final, sol
+
+
+def _resolve_score_fn(score_fn, score_module):
+    """Single source of truth for the score: exactly one of ``score_fn``
+    / ``score_module``. With a module, every path (persistent kernel AND
+    XLA fallback) evaluates that module; a user score_fn alongside it
+    could disagree with the kernel's module evaluation with no warning."""
+    if score_module is not None:
+        if score_fn is not None:
+            raise ValueError(
+                "pass exactly one of score_fn / score_module: with "
+                "score_module the XLA fallback uses the module too, so a "
+                "separate score_fn could silently diverge from the "
+                "persistent-kernel path"
+            )
+        return _raw_module_score_fn(score_module)
+    if score_fn is None:
+        raise ValueError("pass score_fn or score_module")
+    return score_fn
 
 
 def _raw_module_score_fn(module):
@@ -199,10 +216,7 @@ def sample_probability_flow(
     sde = sde or VPSDE()
     u_init = jax.random.normal(key, shape)
 
-    if score_fn is None:
-        if score_module is None:
-            raise ValueError("pass score_fn, score_module, or both")
-        score_fn = _raw_module_score_fn(score_module)
+    score_fn = _resolve_score_fn(score_fn, score_module)
 
     def dynamics(u, tau, p_):
         t = t1 - tau

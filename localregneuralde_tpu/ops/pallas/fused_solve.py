@@ -786,7 +786,23 @@ def match_dense_chain(model):
     return spec, tuple(keys), tuple(dims)
 
 
-def _chain_plan(B: int, F_pad: int, max_pad: int, n_weights: int,
+def family_weight_bytes(spec) -> int:
+    """Exact VMEM bytes of the padded weight operands ((1, P) rows
+    rounded up to 8 sublanes) — ``_chain_plan``'s resident-weight term.
+    Computed from the spec's per-layer pads rather than a
+    count-of-operands estimate: the pfode family has 3 operands/layer
+    (wx, wt, b) and an n_weights//2 · max_pad² estimate would bill its
+    two rows as a half matrix (~1.5× overcount), declining servable
+    large score nets."""
+    kind, pads = spec[0], spec[1]
+    n_rows = {"chain": 1, "pfode": 2}[kind]  # (1, P) operands per layer
+    total = 0
+    for i in range(len(pads) - 1):
+        total += pads[i] * pads[i + 1] + n_rows * 8 * pads[i + 1]
+    return 4 * total
+
+
+def _chain_plan(B: int, F_pad: int, max_pad: int, weight_bytes: int,
                 n_save: int, use_reservoir: bool):
     """Batch tile under the VMEM budget for the chain family.
 
@@ -796,7 +812,7 @@ def _chain_plan(B: int, F_pad: int, max_pad: int, n_weights: int,
     XLA loop at tb=256 on the PhysioNet config; the TD-MLP's
     overlap-favoring small tiles don't transfer)."""
     resident = (6 + n_save + (1 if use_reservoir else 0)) * B * F_pad * 4
-    resident += n_weights // 2 * (max_pad * max_pad + max_pad) * 4
+    resident += weight_bytes
     for tb in (B, 256, 128, 64, 32, 16, 8):
         if tb > B or B % tb:
             continue
@@ -857,7 +873,7 @@ def persistent_chain_solve(
     """``persistent_tsit5_solve`` for the autonomous Dense-chain family.
     ``chain_info = (spec, layer_keys, dims)`` from ``match_dense_chain``.
     Same return/decline contract as the TD-MLP wrapper."""
-    if u0.ndim != 2 or u0.dtype != jnp.float32:
+    if u0.ndim != 2 or u0.dtype != jnp.float32 or u0.shape[0] % 8:
         return None
     spec, keys, dims = chain_info
     B, F = u0.shape
@@ -868,7 +884,7 @@ def persistent_chain_solve(
     F_pad = spec[1][0]
     max_pad = max(spec[1])
     tb, vmem_est = _chain_plan(
-        B, F_pad, max_pad, family_n_weights(spec), n_save, use_reservoir
+        B, F_pad, max_pad, family_weight_bytes(spec), n_save, use_reservoir
     )
     if tb is None:
         return None
@@ -1007,7 +1023,7 @@ def persistent_pf_solve(
     configuration isn't servable."""
     from .fused_sde_solve import td_score_eval_pure
 
-    if u0.ndim != 2 or u0.dtype != jnp.float32:
+    if u0.ndim != 2 or u0.dtype != jnp.float32 or u0.shape[0] % 8:
         return None
     dims, acts, keys = chain_info
     B, F = u0.shape
@@ -1020,7 +1036,7 @@ def persistent_pf_solve(
     F_pad = pads[0]
     max_pad = max(pads)
     tb, vmem_est = _chain_plan(
-        B, F_pad, max_pad, family_n_weights(spec), n_save, False
+        B, F_pad, max_pad, family_weight_bytes(spec), n_save, False
     )
     if tb is None:
         return None

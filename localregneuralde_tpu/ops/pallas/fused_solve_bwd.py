@@ -72,6 +72,7 @@ from .fused_solve import (
     _propose,
     family_make_f,
     family_n_weights,
+    family_weight_bytes,
     pack_chain_weights,
     run_attempt_tiles,
 )
@@ -314,7 +315,7 @@ def _chain_forward_tile(chain_info, B, n_save, use_reservoir):
     F_pad = spec[1][0]
     max_pad = max(spec[1])
     return _chain_plan(
-        B, F_pad, max_pad, family_n_weights(spec), n_save, use_reservoir
+        B, F_pad, max_pad, family_weight_bytes(spec), n_save, use_reservoir
     )[0]
 
 

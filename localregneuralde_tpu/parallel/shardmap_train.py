@@ -36,7 +36,8 @@ leaf, derived once via ``jax.eval_shape``):
 - everything else (NFE counters, reg_val, BatchNorm running stats):
   cross-shard ``pmean`` cast back to the original dtype — for BN
   statistics this is exactly the cross-replica sync a distributed
-  BatchNorm wants.
+  BatchNorm wants. Boolean leaves (``success`` flags) reduce by
+  all-shards AND instead: one diverged shard must surface.
 """
 from __future__ import annotations
 
@@ -49,10 +50,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..harness.train import TrainState
 
-try:  # jax >= 0.8
-    from jax import shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+from .compat import shard_map_nocheck
 
 
 def _is_rng_path(path) -> bool:
@@ -92,50 +90,71 @@ def make_shardmap_train_step(
 
     def build(ts, data, w_reg, lr):
         # ---- classify state leaves from local output shapes ----------
-        local_data = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(
-                (x.shape[0] // n_shards,) + x.shape[1:], x.dtype
-            ),
-            data,
-        )
-        b_local = jax.tree_util.tree_leaves(local_data)[0].shape[0]
-        local_state = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(
-                ((x.shape[0] // n_shards,) + x.shape[1:])
-                if (x.ndim >= 1 and x.shape[0] != 0
-                    and x.shape[0] % n_shards == 0
-                    and x.shape[0] // n_shards == b_local)
-                else x.shape,
-                x.dtype,
-            ),
-            ts.state,
-        )
+        # Classification runs the abstract loss at TWO local batch sizes
+        # (b_local and 2·b_local): a leaf is batch-type iff its leading
+        # dim tracks the batch across both evals. A single-size
+        # dim-equality check misclassifies leaves whose leading dim
+        # coincidentally equals b_local (e.g. a (2,)-wide stats pair at
+        # b_local=2); a constant dim cannot match both sizes.
+        b_global = jax.tree_util.tree_leaves(data)[0].shape[0]
+        b_local = b_global // n_shards
         abs_params = jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), ts.params
         )
-        st_out, stats_out = jax.eval_shape(
-            lambda p, s, d: loss_fn(model, p, s, d, w_reg, training=True)[1:],
-            abs_params, local_state, local_data,
-        )
 
-        def classify(path, leaf):
+        def eval_at(b):
+            # input state: leaves whose leading dim is exactly the
+            # GLOBAL batch are presumed batch-type and re-sized; a
+            # non-batch leaf colliding with b_global would fail this
+            # trace loudly (shape mismatch inside the model).
+            st = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    ((b,) + x.shape[1:])
+                    if (x.ndim >= 1 and x.shape[0] == b_global
+                        and b_global > 0)
+                    else x.shape,
+                    x.dtype,
+                ),
+                ts.state,
+            )
+            d = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    (b,) + x.shape[1:], x.dtype
+                ),
+                data,
+            )
+            return jax.eval_shape(
+                lambda p, s, dd: loss_fn(
+                    model, p, s, dd, w_reg, training=True
+                )[1:],
+                abs_params, st, d,
+            )
+
+        st_out, stats_out = eval_at(b_local)
+        st_out2, stats_out2 = eval_at(2 * b_local)
+
+        def _tracks_batch(l1, l2):
+            return (l1.ndim >= 1 and l1.shape[0] == b_local
+                    and l2.shape[0] == 2 * b_local)
+
+        def classify(path, leaf, leaf2):
             if _is_rng_path(path):
                 return "rng"
-            if leaf.ndim >= 1 and leaf.shape[0] == b_local:
+            if _tracks_batch(leaf, leaf2):
                 return "batch"
             return "reduce"
 
-        cls = jax.tree_util.tree_map_with_path(classify, st_out)
+        cls = jax.tree_util.tree_map_with_path(classify, st_out, st_out2)
         state_spec = jax.tree_util.tree_map(
             lambda c: batch_spec if c == "batch" else repl_spec, cls
         )
         # stats: batch-shaped leaves (e.g. y_pred for accuracy) stay
         # sharded — concatenating across shards reconstructs the global
-        # batch; scalar/other leaves are cross-shard means.
+        # batch; scalar/other leaves are cross-shard means (booleans:
+        # all-shards AND).
         stats_cls = jax.tree_util.tree_map(
-            lambda leaf: "batch"
-            if (leaf.ndim >= 1 and leaf.shape[0] == b_local) else "reduce",
-            stats_out,
+            lambda l1, l2: "batch" if _tracks_batch(l1, l2) else "reduce",
+            stats_out, stats_out2,
         )
         stats_spec = jax.tree_util.tree_map(
             lambda c: batch_spec if c == "batch" else repl_spec, stats_cls
@@ -173,12 +192,23 @@ def make_shardmap_train_step(
                 objective, has_aux=True
             )(ts.params)
 
+            def reduce_leaf(x):
+                # booleans are success-style flags: the correct
+                # cross-shard reduction is ALL (a diverged shard must
+                # surface), not a mean that any nonzero rounds to True.
+                x = jnp.asarray(x)
+                if x.dtype == jnp.bool_:
+                    return jax.lax.psum(
+                        x.astype(jnp.int32), data_axis
+                    ) == n_shards
+                return jax.lax.pmean(
+                    jnp.asarray(x, jnp.float32), data_axis
+                )
+
             loss = jax.lax.pmean(loss, data_axis)
             grads = jax.lax.pmean(grads, data_axis)
             stats = jax.tree_util.tree_map(
-                lambda x, c: x if c == "batch" else jax.lax.pmean(
-                    jnp.asarray(x, jnp.float32), data_axis
-                ),
+                lambda x, c: x if c == "batch" else reduce_leaf(x),
                 stats, stats_cls,
             )
 
@@ -187,9 +217,7 @@ def make_shardmap_train_step(
                     return _advance_key(old, 1)
                 if c == "batch":
                     return leaf
-                red = jax.lax.pmean(
-                    jnp.asarray(leaf, jnp.float32), data_axis
-                )
+                red = reduce_leaf(leaf)
                 return red.astype(leaf.dtype)
 
             state_out = jax.tree_util.tree_map_with_path(
@@ -208,20 +236,11 @@ def make_shardmap_train_step(
             )
             return ts, loss, stats
 
-        try:  # jax >= 0.8 renamed check_rep -> check_vma
-            mapped = shard_map(
-                local_step, mesh=mesh,
-                in_specs=(ts_spec, data_spec, repl_spec, repl_spec),
-                out_specs=(ts_spec, repl_spec, stats_spec),
-                check_vma=False,
-            )
-        except TypeError:  # pragma: no cover
-            mapped = shard_map(
-                local_step, mesh,
-                in_specs=(ts_spec, data_spec, repl_spec, repl_spec),
-                out_specs=(ts_spec, repl_spec, stats_spec),
-                check_rep=False,
-            )
+        mapped = shard_map_nocheck(
+            local_step, mesh,
+            in_specs=(ts_spec, data_spec, repl_spec, repl_spec),
+            out_specs=(ts_spec, repl_spec, stats_spec),
+        )
         return jax.jit(mapped, donate_argnums=(0,))
 
     def train_step(ts: TrainState, data, w_reg, lr):

@@ -18,10 +18,15 @@ drift hits all arms equally (CLAUDE.md A/B doctrine):
 Derived: reg-step cost = fwd_train − fwd_inf; backward cost =
 grad − fwd_train; optimizer/glue = full − grad.
 
-Params are FIXED for the first three arms; per-iteration freshness comes
-from injecting the running loss into the input (acc·1e-18) so no
-(executable, inputs) pair repeats for the relay to memoize.  The full
-arm evolves params (real training).  NFE per arm is reported so
+Params are FIXED for the first three arms. Relay freshness: every call
+feeds a DIFFERENT eps input (x is scaled by 1+eps, eps ~ 1e-6·call_idx),
+so no (executable, inputs) pair ever repeats at the relay level — a
+purely in-chain perturbation (the old acc·1e-18 trick) is NOT enough:
+it is below f32 ulp (bitwise no-op) and invisible to the relay's
+memoization key anyway.  The loss still feeds the next iteration's input
+(acc·1e-18) to keep a cross-iteration data dependency in the HLO.  The
+full arm evolves params (real training) but gets the eps input too (its
+initial TrainState would otherwise repeat).  NFE per arm is reported so
 mismatched adaptive work is visible.
 
 Usage: python scripts/flagship_phase_probe.py [rounds=5] [out.json]
@@ -98,10 +103,10 @@ def main():
 
     # --- arm bodies -----------------------------------------------------
     def chain_fwd(training):
-        def run(n):
+        def run(n, eps):
             def body(i, carry):
                 acc, nfe = carry
-                x = xs[i % N_POOL] + acc * 1e-18
+                x = xs[i % N_POOL] * (1.0 + eps) + acc * 1e-18
                 loss, _, nfe_i = loss_fn(params, state, x, ys[i % N_POOL],
                                          training)
                 return loss, nfe + nfe_i
@@ -113,10 +118,10 @@ def main():
         return jax.jit(run, static_argnums=0)
 
     def chain_grad():
-        def run(n):
+        def run(n, eps):
             def body(i, carry):
                 acc, nfe = carry
-                x = xs[i % N_POOL] + acc * 1e-18
+                x = xs[i % N_POOL] * (1.0 + eps) + acc * 1e-18
 
                 def obj(p):
                     loss, _, nfe_i = loss_fn(p, state, x, ys[i % N_POOL],
@@ -136,13 +141,14 @@ def main():
         return jax.jit(run, static_argnums=0)
 
     def chain_full():
-        def run(n, ts):
+        def run(n, ts, eps):
             def body(i, carry):
                 ts, nfe = carry
 
                 def obj(p):
-                    loss, st_, nfe_i = loss_fn(p, ts.state, xs[i % N_POOL],
-                                               ys[i % N_POOL], True)
+                    loss, st_, nfe_i = loss_fn(
+                        p, ts.state, xs[i % N_POOL] * (1.0 + eps),
+                        ys[i % N_POOL], True)
                     return loss, (st_, nfe_i)
 
                 (loss, (st_, nfe_i)), g = jax.value_and_grad(
@@ -168,13 +174,19 @@ def main():
         "full": chain_full(),
     }
 
+    call_idx = [0]
+
     def run_arm(name, n):
         fn = arms[name]
+        # fresh relay-visible input every call: no (executable, inputs)
+        # pair ever repeats, so memoization cannot fire
+        call_idx[0] += 1
+        eps = jnp.float32(1e-6 * call_idx[0])
         t0 = time.perf_counter()
         if name == "full":
-            out, nfe = fn(n, ts0)
+            out, nfe = fn(n, ts0, eps)
         else:
-            out, nfe = fn(n)
+            out, nfe = fn(n, eps)
         _ = float(out)  # host readback barrier
         dt = time.perf_counter() - t0
         return dt, int(nfe)

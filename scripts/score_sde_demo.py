@@ -146,16 +146,13 @@ def main():
         print(f"{name}: trained {steps} steps ({time.time()-t0:.0f}s, "
               f"final loss {final_loss:.4f})", flush=True)
 
-        def score_fn(u, t, p_):
-            return score_apply(p_, u, t)
-
         for rtol in (3e-1, 1e-1, 3e-2, 1e-2):
             # score_module engages the persistent whole-solve Pallas
             # kernel ('vpsde' family, fused_sde_solve.py) when servable;
-            # score_fn remains the XLA-loop fallback
+            # the XLA-loop fallback evaluates the SAME module
             samp, sol = jax.jit(
                 lambda key, p_, r=rtol: sample_vpsde(
-                    score_fn, (4096, 2), key, p_, rtol=r, atol=r,
+                    None, (4096, 2), key, p_, rtol=r, atol=r,
                     solver="sosri", max_steps=4096, score_module=net,
                 )
             )(jax.random.PRNGKey(7), p)

@@ -292,3 +292,49 @@ def test_shardmap_keeps_persistent_pallas_path():
     # same per-shard grids (kernel math parity) => identical mean NFE
     assert res["pallas"][1] == res["plain"][1]
     np.testing.assert_allclose(res["pallas"][0], res["plain"][0], rtol=2e-5)
+
+
+def test_shardmap_bool_stats_reduce_by_all_and_dim_collisions():
+    """Two reduction-semantics regressions:
+
+    1. Boolean stats leaves reduce by all-shards AND (not a pmean that
+       any nonzero shard rounds to True) and keep dtype bool.
+    2. A non-batch stats leaf whose leading dim coincidentally equals the
+       LOCAL batch (here a (2,)-pair at b_local=2) must be classified
+       'reduce', not concatenated into a garbage global-batch array —
+       the two-size eval_shape classification."""
+    cfg = _tiny_cfg()
+    model = construct_model(cfg)
+    base_loss, _ = construct_loss(cfg)
+    optimizer, _ = construct_optimizer(cfg)
+    mesh = make_mesh({"data": 8})
+    x, y = _batch(16)  # b_local = 2
+
+    thresh = float(x.max())  # concrete, computed outside any trace
+
+    def loss_fn(model_, params, state, data, w_reg, training=True):
+        loss, st_, stats = base_loss(
+            model_, params, state, data, w_reg, training=training
+        )
+        xs = data[0]
+        # exactly the shards holding the batch max see flag=False
+        stats["flag"] = xs.max() < thresh
+        stats["pair"] = jnp.zeros((2,), jnp.float32)  # dim == b_local
+        return loss, st_, stats
+
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+    ts = settle_state_shapes(model, loss_fn, ts, (x, y), 1.0)
+    ts = shard_train_state(ts, mesh)
+    step = make_shardmap_train_step(model, loss_fn, optimizer, mesh)
+    ts2, loss, stats = step(ts, shard_batch((x, y), mesh), 1.0, 1e-3)
+
+    flag = stats["flag"]
+    assert flag.dtype == jnp.bool_
+    assert not bool(flag), "one shard's False must surface (AND, not mean)"
+    assert stats["pair"].shape == (2,), (
+        "b_local-collision leaf must stay a reduced (2,) pair, not be "
+        "concatenated across shards"
+    )
+    # state success flags keep their dtype through the bool reduction
+    ok = ts2.state["neural_ode"]["success"]
+    assert ok.dtype == jnp.bool_ and bool(ok)

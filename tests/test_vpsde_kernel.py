@@ -232,10 +232,7 @@ def test_sampler_shardmap_fanout(monkeypatch):
     from jax import lax
     from jax.sharding import Mesh, PartitionSpec as P
 
-    try:
-        from jax import shard_map
-    except ImportError:
-        from jax.experimental.shard_map import shard_map
+    from localregneuralde_tpu.parallel.compat import shard_map_nocheck
 
     mod, params = _neg_identity_score()
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("data",))
@@ -258,11 +255,11 @@ def test_sampler_shardmap_fanout(monkeypatch):
         )
         return s, sol.naccept[None], sol.success[None]
 
-    # check_vma=False: pallas_call doesn't declare vma (the same setting
-    # parallel/shardmap_train.py uses for the persistent train kernels)
-    mapped = shard_map(
-        sample_shard, mesh=mesh, in_specs=(P(),),
-        out_specs=(P("data"), P("data"), P("data")), check_vma=False,
+    # vma/rep checking off: pallas_call doesn't declare vma (the same
+    # setting parallel/shardmap_train.py uses via the shared compat shim)
+    mapped = shard_map_nocheck(
+        sample_shard, mesh, in_specs=(P(),),
+        out_specs=(P("data"), P("data"), P("data")),
     )
     s, naccs, oks = jax.jit(mapped)(params)
     assert len(calls) == 1  # traced once; kernel engaged per shard
