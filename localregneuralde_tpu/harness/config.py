@@ -113,6 +113,16 @@ class TrainConfig:
     expt_subdir: str = ""
     expt_id: str = ""
     print_frequency: int = 100
+    # multi-chip training (additive over the reference, SURVEY §2e):
+    # 'none' = single device; 'gspmd' = DP(×TP) mesh sharding with the
+    # reference-exact shared GLOBAL adaptive grid (parallel/sharded_train);
+    # 'shardmap' = opt-in per-shard-grid DP that keeps the persistent
+    # Pallas kernels engaged per chip (documented estimator deviation,
+    # parallel/shardmap_train).
+    data_parallel: str = "none"
+    # 'model' mesh-axis size (tensor parallel over the dynamics Dense
+    # layers); >1 requires data_parallel=gspmd.
+    tensor_parallel: int = 1
 
 
 @dataclass

@@ -31,6 +31,87 @@ from .train import (
 )
 
 
+def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
+                        warmup_batch, w_reg0):
+    """Swap the single-device train step for a multi-chip one per
+    ``cfg.train.data_parallel`` ('none' | 'gspmd' | 'shardmap') and place
+    the train state on the mesh. Returns ``(train_step, ts, place_batch)``
+    where ``place_batch`` shards a host batch's leading dim over the
+    mesh's data axis (identity when single-device). Runs AFTER checkpoint
+    resume so restored host arrays get (re)sharded."""
+    dp_mode = cfg.train.data_parallel
+    if dp_mode not in ("none", "gspmd", "shardmap"):
+        raise ValueError(
+            "train.data_parallel must be 'none', 'gspmd' or 'shardmap', "
+            f"got {dp_mode!r}"
+        )
+    tp = max(1, int(cfg.train.tensor_parallel))
+    if dp_mode == "none":
+        if tp != 1:
+            raise ValueError(
+                "train.tensor_parallel > 1 requires data_parallel='gspmd'"
+            )
+        return train_step, ts, lambda b: b
+
+    from ..parallel import (
+        make_mesh,
+        make_shardmap_train_step,
+        make_sharded_train_step,
+        shard_batch,
+        shard_train_state,
+        sharding_rules_for_mlp_tp,
+    )
+    from .train import settle_state_shapes
+
+    n_dev = len(jax.devices())
+    if dp_mode == "shardmap" and tp != 1:
+        raise ValueError(
+            "train.tensor_parallel > 1 requires data_parallel='gspmd' "
+            "(the shardmap mode is data-parallel only)"
+        )
+    if n_dev % tp:
+        raise ValueError(
+            f"tensor_parallel={tp} does not divide the {n_dev} devices"
+        )
+    n_data = n_dev // tp
+    if cfg.dataset.train_batchsize % n_data:
+        raise ValueError(
+            f"dataset.train_batchsize={cfg.dataset.train_batchsize} must "
+            f"be divisible by the data-parallel degree {n_data}"
+        )
+
+    # settle first-call state shapes at the GLOBAL batch before tracing
+    # the parallel step (required by the shardmap classifier; avoids one
+    # guaranteed recompile under gspmd)
+    ts = settle_state_shapes(model, loss_fn, ts, warmup_batch, w_reg0)
+
+    if dp_mode == "gspmd":
+        from ..parallel import train_state_shardings
+
+        axes = {"data": n_data}
+        rules = None
+        if tp > 1:
+            axes["model"] = tp
+            rules = sharding_rules_for_mlp_tp()
+        mesh = make_mesh(axes)
+        ts_sh = train_state_shardings(ts, mesh, rules)
+        ts = shard_train_state(ts, mesh, rules)
+        step = make_sharded_train_step(
+            model, loss_fn, optimizer, mesh, rules=rules, ts_shardings=ts_sh
+        )
+    else:
+        mesh = make_mesh({"data": n_data})
+        ts = shard_train_state(ts, mesh)
+        step = make_shardmap_train_step(model, loss_fn, optimizer, mesh)
+    print(
+        f"data_parallel={dp_mode}: mesh "
+        f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
+        f"{n_dev} devices",
+        flush=True,
+    )
+    return step, ts, lambda b: shard_batch(b, mesh)
+
+
 def run_classification_experiment(
     cfg: ExperimentConfig,
     config_name: str = "run",
@@ -86,14 +167,26 @@ def run_classification_experiment(
         print(f"[evaluate] {metrics}", flush=True)
         return {"eval": metrics, "real_data": bool(is_real)}
 
+    xw = jnp.asarray(x_train[: cfg.dataset.train_batchsize])
+    yw = jnp.asarray(one_hot(y_train[: cfg.dataset.train_batchsize], nc))
+
+    # --- optional multi-chip training (additive over the reference) -----
+    # train.data_parallel: 'gspmd' shards the batch over a device mesh
+    # with the reference-exact shared GLOBAL adaptive grid (+ optional
+    # tensor parallelism over the dynamics layers); 'shardmap' runs one
+    # COMPLETE per-shard solve per chip (persistent kernels engaged, one
+    # pmean/step; documented estimator deviation).
+    train_step, ts, place_batch = _wire_data_parallel(
+        cfg, model, loss_fn, optimizer, train_step, ts,
+        (xw, yw), float(w_reg_sched(1)),
+    )
+
     # warmup: trigger XLA compilation before timing starts
     # (reference utils.jl:126-137)
     from .train import warmup_model
 
-    xw = jnp.asarray(x_train[: cfg.dataset.train_batchsize])
-    yw = jnp.asarray(one_hot(y_train[: cfg.dataset.train_batchsize], nc))
     warmup_model(
-        train_step, eval_step, ts, (xw, yw),
+        train_step, eval_step, ts, place_batch((xw, yw)),
         float(w_reg_sched(1)), float(lr_sched(1)),
     )
 
@@ -164,7 +257,7 @@ def run_classification_experiment(
         lr = float(lr_sched(step))
         yb_dev = jnp.asarray(yb)
         ts, loss, stats = train_step(
-            ts, (jnp.asarray(xb), yb_dev), w_reg, lr
+            ts, place_batch((jnp.asarray(xb), yb_dev)), w_reg, lr
         )
         acc = window_update(acc, loss, stats, yb_dev)
         bs = xb.shape[0]

@@ -4,6 +4,7 @@ from .sharded_train import (
     make_sharded_train_step,
     shard_train_state,
     sharding_rules_for_mlp_tp,
+    train_state_shardings,
 )
 from .shardmap_train import make_shardmap_train_step
 
@@ -17,4 +18,5 @@ __all__ = [
     "make_shardmap_train_step",
     "shard_train_state",
     "sharding_rules_for_mlp_tp",
+    "train_state_shardings",
 ]

@@ -75,12 +75,20 @@ def make_param_shardings(params, mesh: Mesh, rules: Optional[Dict[str, P]] = Non
 def make_sharded_train_step(
     model, loss_fn, optimizer, mesh: Mesh,
     *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
+    ts_shardings=None,
 ) -> Callable:
     """Jitted train step with explicit input/output shardings.
 
     ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)`` — identical
     signature and semantics to the single-device step
     (``harness.train.make_train_step``), executed SPMD over the mesh.
+
+    Pass ``ts_shardings`` (from ``train_state_shardings``) to PIN the
+    TrainState's input AND output shardings. Without it GSPMD is free to
+    pick different shardings for some optimizer-moment outputs than the
+    inputs carried, so the donated state's layout drifts call-to-call and
+    the step recompiles until the layouts reach a fixed point (measured:
+    3 full compiles on the DP×TP mesh before settling).
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(data_axis))
@@ -111,6 +119,13 @@ def make_sharded_train_step(
     # `batch_sh` is a pytree *prefix*: it broadcasts over any data pytree
     # (2-tuple classification batches, 3-tuple latent/SDE batches, dicts),
     # sharding every leaf's leading (batch) axis over the data mesh axis.
+    if ts_shardings is not None:
+        return jax.jit(
+            step,
+            in_shardings=(ts_shardings, batch_sh, repl, repl),
+            out_shardings=(ts_shardings, None, None),
+            donate_argnums=(0,),
+        )
     return jax.jit(
         step,
         in_shardings=(None, batch_sh, repl, repl),
@@ -118,14 +133,14 @@ def make_sharded_train_step(
     )
 
 
-def shard_train_state(ts: TrainState, mesh: Mesh,
-                      rules: Optional[Dict[str, P]] = None) -> TrainState:
-    """Place params (per rules), optimizer state (moments sharded like their
-    params), and layer state (replicated) onto the mesh."""
+def train_state_shardings(ts: TrainState, mesh: Mesh,
+                          rules: Optional[Dict[str, P]] = None) -> TrainState:
+    """NamedSharding pytree for a TrainState: params per rules, optimizer
+    moments sharded like their params, layer state and step replicated.
+    Feed this to ``shard_train_state`` (placement) and
+    ``make_sharded_train_step(ts_shardings=...)`` (pinned layouts)."""
     param_sh = make_param_shardings(ts.params, mesh, rules)
     repl = NamedSharding(mesh, P())
-
-    params = jax.tree_util.tree_map(jax.device_put, ts.params, param_sh)
 
     # Optimizer moment trees (optax adam mu/nu etc.) mirror the param tree
     # under inner paths like 'inner_state/0/0/mu/<param-path>'. Match each
@@ -152,14 +167,27 @@ def shard_train_state(ts: TrainState, mesh: Mesh,
                 best_sh, best_len = sh, len(ppath)
         return best_sh
 
-    def put_opt(path, leaf):
-        return jax.device_put(leaf, opt_sharding_for(path, leaf))
-
-    opt_state = jax.tree_util.tree_map_with_path(put_opt, ts.opt_state)
-    state = jax.tree_util.tree_map(
-        lambda leaf: jax.device_put(leaf, repl), ts.state
+    opt_sh = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: opt_sharding_for(path, leaf), ts.opt_state
     )
+    state_sh = jax.tree_util.tree_map(lambda _: repl, ts.state)
     return TrainState(
-        params=params, state=state, opt_state=opt_state,
-        step=jax.device_put(ts.step, repl),
+        params=param_sh, state=state_sh, opt_state=opt_sh, step=repl,
+    )
+
+
+def shard_train_state(ts: TrainState, mesh: Mesh,
+                      rules: Optional[Dict[str, P]] = None) -> TrainState:
+    """Place params (per rules), optimizer state (moments sharded like their
+    params), and layer state (replicated) onto the mesh."""
+    sh = train_state_shardings(ts, mesh, rules)
+
+    def put(leaf, s):
+        return jax.device_put(leaf, s) if hasattr(leaf, "shape") else leaf
+
+    return TrainState(
+        params=jax.tree_util.tree_map(put, ts.params, sh.params),
+        state=jax.tree_util.tree_map(put, ts.state, sh.state),
+        opt_state=jax.tree_util.tree_map(put, ts.opt_state, sh.opt_state),
+        step=put(ts.step, sh.step),
     )

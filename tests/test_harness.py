@@ -349,3 +349,59 @@ def test_config_list_override():
         ["--optimizer.scheduler.step_lr_steps=[100,200,300]"], None
     )
     assert cfg2.optimizer.scheduler.step_lr_steps == [100, 200, 300]
+
+
+@pytest.mark.parametrize("dp_mode,tp", [("gspmd", 1), ("gspmd", 2),
+                                        ("shardmap", 1)])
+def test_end_to_end_data_parallel_runner(tmp_path, dp_mode, tp):
+    """train.data_parallel wires the parallel train steps into the
+    canonical runner: gspmd keeps the reference-exact global adaptive
+    grid (loss trajectory identical to single-device at the same seed);
+    shardmap is the documented per-shard-grid estimator (runs, logs,
+    checkpoints — values differ by design)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    def run(mode, tpn, sub):
+        cfg = _tiny_cfg()
+        cfg.train.data_parallel = mode
+        cfg.train.tensor_parallel = tpn
+        cfg.train.checkpoint_dir = str(tmp_path / f"ckpt{sub}")
+        cfg.train.log_dir = str(tmp_path / f"logs{sub}")
+        out = run_classification_experiment(cfg, f"dp_{sub}")
+        csv = os.path.join(out["log_dir"], "results_train.csv")
+        with open(csv) as f:
+            rows = f.read().strip().splitlines()
+        header = rows[0].split(",")
+        ce = [float(r.split(",")[header.index("ce_loss")])
+              for r in rows[1:]]
+        return out, ce
+
+    out, ce = run(dp_mode, tp, f"{dp_mode}{tp}")
+    assert os.path.exists(os.path.join(out["ckpt_dir"], "model_current.ckpt"))
+    assert np.all(np.isfinite(ce))
+    if dp_mode == "gspmd":
+        out0, ce0 = run("none", 1, "single")
+        np.testing.assert_allclose(ce, ce0, rtol=1e-4)
+
+
+def test_data_parallel_config_validation():
+    from localregneuralde_tpu.harness.runner import _wire_data_parallel
+
+    cfg = _tiny_cfg()
+    cfg.train.data_parallel = "bogus"
+    with pytest.raises(ValueError, match="data_parallel"):
+        _wire_data_parallel(cfg, None, None, None, None, None, None, 1.0)
+    cfg.train.data_parallel = "shardmap"
+    cfg.train.tensor_parallel = 2
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        _wire_data_parallel(cfg, None, None, None, None, None, None, 1.0)
+    cfg.train.data_parallel = "shardmap"
+    cfg.train.tensor_parallel = 1
+    cfg.dataset.train_batchsize = 12  # not divisible by 8 shards
+    if len(jax.devices()) == 8:
+        with pytest.raises(ValueError, match="divisible"):
+            _wire_data_parallel(cfg, None, None, None, None, None, None, 1.0)
