@@ -113,6 +113,15 @@ def run_latent_ode_experiment(
             ts = jax.tree_util.tree_map(jnp.asarray, restored["tstate"])
             initial_step = int(restored["step"]) + 1
 
+    # optional multi-chip training (same wiring as the classification
+    # runner; after resume so restored host arrays get sharded)
+    from .runner import _wire_data_parallel
+
+    train_step, ts, place_batch = _wire_data_parallel(
+        cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
+        (float(w_reg_sched(1)), float(w_kl_sched(1))),
+    )
+
     loggers = create_logger(
         log_dir, cfg.train.total_steps, latent_ode=True, expt_name=name,
         config=flatten_config(cfg),
@@ -162,7 +171,9 @@ def run_latent_ode_experiment(
 
         w = (float(w_reg_sched(step)), float(w_kl_sched(step)))
         lr = float(lr_sched(step))
-        batch = (jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(dtb))
+        batch = place_batch(
+            (jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(dtb))
+        )
         ts, loss, stats = train_step(ts, batch, w, lr)
         acc = window_update(acc, loss, stats)
         bs = xb.shape[0]

@@ -405,3 +405,25 @@ def test_data_parallel_config_validation():
     if len(jax.devices()) == 8:
         with pytest.raises(ValueError, match="divisible"):
             _wire_data_parallel(cfg, None, None, None, None, None, None, 1.0)
+
+
+def test_end_to_end_latent_data_parallel(tmp_path):
+    """The latent runner accepts train.data_parallel too (shardmap here:
+    3-tuple batches, tuple w_reg, per-shard grids)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from localregneuralde_tpu.harness.latent_runner import (
+        run_latent_ode_experiment,
+    )
+
+    cfg = _tiny_cfg("time_series")
+    cfg.train.data_parallel = "shardmap"
+    cfg.model.ts_in_dims = 5
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 6
+    cfg.model.ts_node_dims = 4
+    cfg.dataset.eval_batchsize = 16
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_latent_ode_experiment(cfg, "tiny_ts_dp")
+    assert np.isfinite(out["best_eval_mse"])
