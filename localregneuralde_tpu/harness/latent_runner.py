@@ -114,12 +114,13 @@ def run_latent_ode_experiment(
             initial_step = int(restored["step"]) + 1
 
     # optional multi-chip training (same wiring as the classification
-    # runner; after resume so restored host arrays get sharded)
+    # runner; after resume so restored host arrays get sharded).
+    # settled=True: this runner already ran settle_state_shapes above.
     from .runner import _wire_data_parallel
 
     train_step, ts, place_batch = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
-        (float(w_reg_sched(1)), float(w_kl_sched(1))),
+        (float(w_reg_sched(1)), float(w_kl_sched(1))), settled=True,
     )
 
     loggers = create_logger(
@@ -171,9 +172,9 @@ def run_latent_ode_experiment(
 
         w = (float(w_reg_sched(step)), float(w_kl_sched(step)))
         lr = float(lr_sched(step))
-        batch = place_batch(
-            (jnp.asarray(xb), jnp.asarray(mb), jnp.asarray(dtb))
-        )
+        # host batch goes through place_batch ONCE (sharded over the mesh
+        # or plain device arrays) — no default-device hop first
+        batch = place_batch((xb, mb, dtb))
         ts, loss, stats = train_step(ts, batch, w, lr)
         acc = window_update(acc, loss, stats)
         bs = xb.shape[0]

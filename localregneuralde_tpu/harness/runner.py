@@ -32,26 +32,31 @@ from .train import (
 
 
 def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
-                        warmup_batch, w_reg0):
+                        warmup_batch, w_reg0, *, settled=False):
     """Swap the single-device train step for a multi-chip one per
     ``cfg.train.data_parallel`` ('none' | 'gspmd' | 'shardmap') and place
     the train state on the mesh. Returns ``(train_step, ts, place_batch)``
-    where ``place_batch`` shards a host batch's leading dim over the
-    mesh's data axis (identity when single-device). Runs AFTER checkpoint
-    resume so restored host arrays get (re)sharded."""
+    where ``place_batch`` devices a host batch — sharded over the mesh's
+    data axis, or plain device arrays when single-device. Runs AFTER
+    checkpoint resume so restored host arrays get (re)sharded. Pass
+    ``settled=True`` if ``settle_state_shapes`` already ran on ``ts``."""
     dp_mode = cfg.train.data_parallel
     if dp_mode not in ("none", "gspmd", "shardmap"):
         raise ValueError(
             "train.data_parallel must be 'none', 'gspmd' or 'shardmap', "
             f"got {dp_mode!r}"
         )
-    tp = max(1, int(cfg.train.tensor_parallel))
+    tp = int(cfg.train.tensor_parallel)
+    if tp < 1:
+        raise ValueError(f"train.tensor_parallel must be >= 1, got {tp}")
     if dp_mode == "none":
         if tp != 1:
             raise ValueError(
                 "train.tensor_parallel > 1 requires data_parallel='gspmd'"
             )
-        return train_step, ts, lambda b: b
+        return train_step, ts, (
+            lambda b: jax.tree_util.tree_map(jnp.asarray, b)
+        )
 
     from ..parallel import (
         make_mesh,
@@ -79,11 +84,24 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             f"dataset.train_batchsize={cfg.dataset.train_batchsize} must "
             f"be divisible by the data-parallel degree {n_data}"
         )
+    b_local = cfg.dataset.train_batchsize // n_data
+    if dp_mode == "shardmap" and b_local % 8:
+        # the mode exists to keep the persistent Pallas kernels engaged
+        # per shard; they decline non-8-multiple (sublane) local batches
+        print(
+            f"WARNING: data_parallel=shardmap with local batch {b_local} "
+            "(not a multiple of 8): the persistent kernels will decline "
+            "and every shard falls back to the XLA loops — use a "
+            f"train_batchsize that is a multiple of {8 * n_data} for the "
+            "fast path",
+            flush=True,
+        )
 
     # settle first-call state shapes at the GLOBAL batch before tracing
     # the parallel step (required by the shardmap classifier; avoids one
     # guaranteed recompile under gspmd)
-    ts = settle_state_shapes(model, loss_fn, ts, warmup_batch, w_reg0)
+    if not settled:
+        ts = settle_state_shapes(model, loss_fn, ts, warmup_batch, w_reg0)
 
     if dp_mode == "gspmd":
         from ..parallel import train_state_shardings
@@ -95,7 +113,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             rules = sharding_rules_for_mlp_tp()
         mesh = make_mesh(axes)
         ts_sh = train_state_shardings(ts, mesh, rules)
-        ts = shard_train_state(ts, mesh, rules)
+        ts = shard_train_state(ts, mesh, shardings=ts_sh)
         step = make_sharded_train_step(
             model, loss_fn, optimizer, mesh, rules=rules, ts_shardings=ts_sh
         )
@@ -255,10 +273,11 @@ def run_classification_experiment(
 
         w_reg = float(w_reg_sched(step))
         lr = float(lr_sched(step))
-        yb_dev = jnp.asarray(yb)
-        ts, loss, stats = train_step(
-            ts, place_batch((jnp.asarray(xb), yb_dev)), w_reg, lr
-        )
+        # host batch goes through place_batch ONCE (sharded over the mesh
+        # or plain device arrays) — no default-device hop first
+        batch = place_batch((xb, yb))
+        yb_dev = batch[1]
+        ts, loss, stats = train_step(ts, batch, w_reg, lr)
         acc = window_update(acc, loss, stats, yb_dev)
         bs = xb.shape[0]
 
@@ -268,9 +287,7 @@ def run_classification_experiment(
             window_wall = time.perf_counter() - t_window
             for k in stat_keys:
                 tm[k].update(float(w["sums"][k]) / n, n * bs)
-            t_fwd, t_fwdbwd = measure_phases(
-                ts, (jnp.asarray(xb), yb_dev), w_reg
-            )
+            t_fwd, t_fwdbwd = measure_phases(ts, batch, w_reg)
             step_time = window_wall / n
             tm["batch_time"].update(window_wall / n, n)
             tm["data_time"].update(data_time_sum / n, n)

@@ -177,10 +177,15 @@ def train_state_shardings(ts: TrainState, mesh: Mesh,
 
 
 def shard_train_state(ts: TrainState, mesh: Mesh,
-                      rules: Optional[Dict[str, P]] = None) -> TrainState:
+                      rules: Optional[Dict[str, P]] = None,
+                      *, shardings: Optional[TrainState] = None) -> TrainState:
     """Place params (per rules), optimizer state (moments sharded like their
-    params), and layer state (replicated) onto the mesh."""
-    sh = train_state_shardings(ts, mesh, rules)
+    params), and layer state (replicated) onto the mesh. Pass a
+    precomputed ``shardings`` tree (from ``train_state_shardings``) to
+    skip recomputing it."""
+    sh = shardings if shardings is not None else train_state_shardings(
+        ts, mesh, rules
+    )
 
     def put(leaf, s):
         return jax.device_put(leaf, s) if hasattr(leaf, "shape") else leaf
