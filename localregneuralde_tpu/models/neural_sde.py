@@ -66,6 +66,14 @@ class NeuralDSDE(Module):
             regularize = "unbiased" if regularize else "none"
         if regularize not in _VALID_REGULARIZE:
             raise ValueError(f"regularize must be one of {_VALID_REGULARIZE}")
+        from ..sde.solve import _SOLVERS
+
+        if solver not in _SOLVERS:
+            raise ValueError(
+                f"solver must be one of {tuple(_SOLVERS)} "
+                "(SOSRI/SRIW1/RKMilCommute/LambaEulerHeun — reference "
+                "LocalRegNeuralDE.jl:7-9), got " f"{solver!r}"
+            )
         if noise_dims is not None and solver != "milstein":
             raise ValueError(
                 "non-diagonal noise (noise_dims=m) requires solver='milstein' "
