@@ -427,3 +427,29 @@ def test_end_to_end_latent_data_parallel(tmp_path):
     cfg.train.log_dir = str(tmp_path / "logs")
     out = run_latent_ode_experiment(cfg, "tiny_ts_dp")
     assert np.isfinite(out["best_eval_mse"])
+
+
+def test_resume_single_device_checkpoint_into_data_parallel(tmp_path):
+    """Recovery scenario: a checkpoint trained single-device resumes into
+    a data_parallel run — restored host arrays must get (re)sharded
+    (the wiring runs after resume by design)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    cfg = _tiny_cfg()
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_classification_experiment(cfg, "resume_dp")
+    assert out["final_step"] == 2
+
+    cfg2 = _tiny_cfg()
+    cfg2.train.data_parallel = "gspmd"
+    cfg2.train.total_steps = 4
+    cfg2.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg2.train.log_dir = str(tmp_path / "logs2")
+    out2 = run_classification_experiment(cfg2, "resume_dp")
+    assert out2["final_step"] == 4
+    assert np.isfinite(out2["best_eval_acc"])
