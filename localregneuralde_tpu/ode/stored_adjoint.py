@@ -181,13 +181,13 @@ def stored_odesolve(
         res = (
             u0, p, saveat_arr, sol.knot_ts, sol.knot_us, sol.knot_ks,
             sol.ckpt_ts, sol.ckpt_us, sol.ckpt_ks,
-            sol.ckpt_dts, sol.ckpt_qolds, sol.naccept,
+            sol.ckpt_dts, sol.ckpt_qolds, sol.naccept, sol.t_final,
         )
         return outputs(sol), res
 
     def core_bwd(res, cts):
         (u0, p, saveat_arr, knot_ts, knot_us, knot_ks, ckpt_ts, ckpt_us,
-         ckpt_ks, ckpt_dts, ckpt_qolds, naccept) = res
+         ckpt_ks, ckpt_dts, ckpt_qolds, naccept, t_final) = res
         # aux outputs (stats/reservoir/f_state) are gradient-fenced: only the
         # ys / y_final cotangents propagate.
         ct_ys, ct_y = cts[0], cts[1]
@@ -379,10 +379,17 @@ def stored_odesolve(
         d_u0_k, d_p_k = vjp0(a_k)
         d_p_k_flat, _ = ravel_pytree(d_p_k)
 
-        # saveat times at/before t0 report u0 directly
-        pre = (saveat_arr <= t0).astype(u0.dtype)
+        # entries the forward never wrote still hold the u0 broadcast —
+        # an identity function of u0: saveat <= t0 (reported as u0 by
+        # contract) AND anything beyond the last accepted time
+        # (truncated/failed solves). Dropping the latter silently zeroed
+        # d_u0 exactly in the max_steps-exhausted regime.
+        unwritten = (
+            (saveat_arr <= t0)
+            | (saveat_arr > lax.stop_gradient(t_final))
+        ).astype(u0.dtype)
         d_u0_pre = jnp.sum(
-            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
+            ct_ys * unwritten.reshape((-1,) + (1,) * u0.ndim), axis=0
         )
 
         d_u0 = a_u + d_u0_k + d_u0_pre

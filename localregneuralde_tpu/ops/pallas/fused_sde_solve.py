@@ -60,13 +60,45 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 _MAX_NSAVE = 4
 
 
-def _plan(B: int, F: int, n_save: int, w_bytes: int, h_pad: int) -> bool:
+def _plan(B: int, F: int, n_save: int, w_bytes: int, h_pad: int):
     """Whole-batch residency check (no tiling: the SDE family's state is
-    narrow). ~14 (B,F) values + 4 (2B,F) noise buffers + stage temps."""
+    narrow). ~14 (B,F) values + 4 (2B,F) noise buffers + stage temps.
+    Returns the byte estimate when servable (it is also threaded into
+    Mosaic's vmem_limit_bytes — a hardcoded limit below the budget made
+    plan-approved configs fail at compile instead of declining), else
+    None."""
     need = (14 + n_save) * B * F * 4 + 4 * 2 * B * F * 4
     need += 6 * B * h_pad * 4                       # hidden temporaries
     need += w_bytes
-    return need <= _VMEM_BUDGET
+    return need if need <= _VMEM_BUDGET else None
+
+
+def _hnw_dt_init(u0, f0, rtol, atol, t0, t_end, dt0):
+    """Shared initial-dt heuristic (identical formulas to
+    ``sde/solve.py``) — ONE copy so every kernel entry point stays in
+    lockstep with the XLA loop."""
+    if dt0 is None:
+        sc = atol + jnp.abs(u0) * rtol
+        d0 = internal_norm(u0 / sc)
+        d1 = internal_norm(f0 / sc)
+        dt_init = jnp.where(
+            (d0 < 1e-5) | (d1 < 1e-5), 1e-6,
+            0.01 * d0 / jnp.where(d1 == 0, 1.0, d1),
+        )
+        dt_init = jnp.minimum(dt_init, (t_end - t0) / 2)
+    else:
+        dt_init = jnp.asarray(dt0, jnp.float32)
+    return lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+
+
+def _derive_seed(noise_key):
+    """Kernel PRNG seed from the solve's ``noise_key``. The
+    ``fold_in(…, 7)`` and golden-ratio mix are part of the
+    rejection-consistent noise CONTRACT shared by every persistent-SDE
+    entry point — edit here only."""
+    kd = jax.random.key_data(jax.random.fold_in(noise_key, 7))
+    return (kd[0].astype(jnp.int32)
+            ^ (kd[1].astype(jnp.int32) * jnp.int32(-1640531527)))
 
 
 # ---------------------------------------------------------------------------
@@ -230,7 +262,10 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, family,
     def kernel(*refs):
         it = iter(refs)
         sc_f = next(it)       # SMEM (4,): t0, t_end, dt0, T_span
-        sc_i = next(it)       # SMEM (2,) i32: seed_w, seed_z-mix
+        sc_i = next(it)       # SMEM (2,) i32: [seed, reserved=0] — W and
+        #                       Z share one seed (independence comes from
+        #                       the stacked (2B, F) draw tile); slot 1 is
+        #                       an unused spare kept for layout stability
         saveat_ref = next(it)  # SMEM (n_save,)
         rand_ref = next(it) if use_reservoir else None
         u0_ref = next(it)
@@ -422,9 +457,11 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, family,
             accept = eest <= 1.0
             dt_acc, dt_rej, qold_acc = _propose(ctrl, eest, dt_c, qold)
 
-            # speculative linear dense output (last-write-wins on accept)
+            # linear dense output, accept-gated like the XLA loop's
+            # hit & upd (a rejected attempt's interpolant must never
+            # leak into ys — visible on truncated/failed solves)
             for s_idx in range(n_save):
-                @pl.when(hits[s_idx])
+                @pl.when(hits[s_idx] & accept)
                 def _(s_idx=s_idx):
                     theta = jnp.clip(
                         (saveat_ref[s_idx] - t) / dt_c, 0.0, 1.0
@@ -507,7 +544,7 @@ def _make_kernel(precision, rtol, atol, delta, B, F, F_logical, family,
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, rtol, atol, delta, B, F, F_logical, family,
                 n_save, max_steps, n_knot, depth, use_reservoir, tab_name,
-                order, interpret):
+                order, interpret, vmem_limit=64 * 1024 * 1024):
     record = n_knot > 0
     kernel = _make_kernel(
         precision, rtol, atol, delta, B, F, F_logical, family, n_save,
@@ -558,7 +595,7 @@ def _build_call(precision, rtol, atol, delta, B, F, F_logical, family,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=int(vmem_limit),
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -630,7 +667,8 @@ def persistent_sde_solve(
         F_pad * H_pad + H_pad + H_pad * F_pad + F_pad
         + F_pad * F_pad + F_pad
     ) * 4
-    if not _plan(B, F_pad, n_save, w_bytes, H_pad):
+    vmem_need = _plan(B, F_pad, n_save, w_bytes, H_pad)
+    if vmem_need is None:
         return None
     if plan_only:
         return True
@@ -639,27 +677,14 @@ def persistent_sde_solve(
     t_end = jnp.asarray(tspan[1], jnp.float32)
     order = 1.5
 
-    # initial derivative + dt heuristic outside the kernel (1 drift NFE;
-    # identical formulas to sde/solve.py)
+    # initial derivative + dt heuristic outside the kernel (1 drift NFE)
     def drift(x):
         h = jnp.tanh(
             jnp.dot(x, w1, precision=precision) + b1
         )
         return jnp.dot(h, w2, precision=precision) + b2
 
-    f0 = drift(u0)
-    if dt0 is None:
-        sc = atol + jnp.abs(u0) * rtol
-        d0 = internal_norm(u0 / sc)
-        d1 = internal_norm(f0 / sc)
-        dt_init = jnp.where(
-            (d0 < 1e-5) | (d1 < 1e-5), 1e-6,
-            0.01 * d0 / jnp.where(d1 == 0, 1.0, d1),
-        )
-        dt_init = jnp.minimum(dt_init, (t_end - t0) / 2)
-    else:
-        dt_init = jnp.asarray(dt0, jnp.float32)
-    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+    dt_init = _hnw_dt_init(u0, drift(u0), rtol, atol, t0, t_end, dt0)
 
     n_knot = (int(max_steps) + 1) if record_knots else 0
 
@@ -667,6 +692,7 @@ def persistent_sde_solve(
         precision, float(rtol), float(atol), float(delta), B, F_pad, F,
         family, n_save, int(max_steps), n_knot, int(brownian_depth),
         reservoir_key is not None, solver, order, _interpret(),
+        vmem_limit=vmem_need + 6 * 1024 * 1024,
     )
 
     def fpad(a, rows, cols):
@@ -680,9 +706,7 @@ def persistent_sde_solve(
     wd_in = fpad(wd, F_pad, F_pad)
     bd_in = jnp.pad(bd, (0, F_pad - F)).reshape(1, F_pad)
 
-    kd = jax.random.key_data(jax.random.fold_in(noise_key, 7))
-    seed = (kd[0].astype(jnp.int32) ^ (kd[1].astype(jnp.int32)
-                                       * jnp.int32(-1640531527)))
+    seed = _derive_seed(noise_key)
     sc_f = jnp.stack([
         t0, t_end, dt_init.astype(jnp.float32), (t_end - t0)
     ])
@@ -855,7 +879,8 @@ def persistent_vpsde_solve(
         for i in range(len(dims) - 1)
     )
     F_pad = pads[0]
-    if not _plan(B, F_pad, n_save, w_bytes, max(pads)):
+    vmem_need = _plan(B, F_pad, n_save, w_bytes, max(pads))
+    if vmem_need is None:
         return None
     if plan_only:
         return True
@@ -864,35 +889,23 @@ def persistent_vpsde_solve(
     t_end = jnp.asarray(tspan[1], jnp.float32)
     order = 1.5
 
-    # initial drift + dt heuristic outside the kernel (1 drift NFE;
-    # identical formulas to sde/solve.py). At τ = t0 the real time is
-    # t1 − t0 (the sampler starts at the noise end of the schedule).
+    # initial drift + dt heuristic outside the kernel (1 drift NFE). At
+    # τ = t0 the real time is t1 − t0 (the sampler starts at the noise
+    # end of the schedule).
     t_real0 = float(t1) - t0
     b0 = float(beta_min) + t_real0 * (float(beta_max) - float(beta_min))
     s0 = td_score_eval_pure(params, keys, acts, u0, t_real0, precision)
     f0 = 0.5 * b0 * u0 + b0 * s0
-    if dt0 is None:
-        sc = atol + jnp.abs(u0) * rtol
-        d0 = internal_norm(u0 / sc)
-        d1 = internal_norm(f0 / sc)
-        dt_init = jnp.where(
-            (d0 < 1e-5) | (d1 < 1e-5), 1e-6,
-            0.01 * d0 / jnp.where(d1 == 0, 1.0, d1),
-        )
-        dt_init = jnp.minimum(dt_init, (t_end - t0) / 2)
-    else:
-        dt_init = jnp.asarray(dt0, jnp.float32)
-    dt_init = lax.stop_gradient(jnp.minimum(dt_init, t_end - t0))
+    dt_init = _hnw_dt_init(u0, f0, rtol, atol, t0, t_end, dt0)
 
     call = _build_call(
         precision, float(rtol), float(atol), float(delta), B, F_pad, F,
         family, n_save, int(max_steps), 0, int(brownian_depth),
         False, solver, order, _interpret(),
+        vmem_limit=vmem_need + 6 * 1024 * 1024,
     )
 
-    kd = jax.random.key_data(jax.random.fold_in(noise_key, 7))
-    seed = (kd[0].astype(jnp.int32) ^ (kd[1].astype(jnp.int32)
-                                       * jnp.int32(-1640531527)))
+    seed = _derive_seed(noise_key)
     sc_f = jnp.stack([
         t0, t_end, dt_init.astype(jnp.float32), (t_end - t0)
     ])

@@ -53,14 +53,16 @@ _VMEM_BUDGET = 88 * 1024 * 1024
 _MAX_NSAVE = 4
 
 
-def _plan(B: int, F: int, H_pad: int, n_save: int) -> bool:
+def _plan(B: int, F: int, H_pad: int, n_save: int):
     """Whole-batch residency check. Live (B, F) values: a_u + ct_y +
     ct_ys + 2x3 knot staging + ~14 stage/cotangent temporaries + 6
-    concat buffers of 4 stages each (24 rows-of-B)."""
+    concat buffers of 4 stages each (24 rows-of-B). Returns the byte
+    estimate when servable (also threaded into Mosaic's
+    vmem_limit_bytes), else None."""
     need = (2 + n_save + 6 + 14 + 24) * B * F * 4
     need += (8 + n_save) * B * H_pad * 4          # hiddens + dz concat
     need += (2 * F * H_pad + F * F + 2 * H_pad + 4 * F) * 4  # w + grads
-    return need <= _VMEM_BUDGET
+    return need if need <= _VMEM_BUDGET else None
 
 
 def _make_kernel(precision, grad_precision, B, F, n_save, n_knot, delta,
@@ -296,7 +298,8 @@ def _make_kernel(precision, grad_precision, B, F, n_save, n_knot, delta,
 
 @functools.lru_cache(maxsize=None)
 def _build_call(precision, grad_precision, B, F, H_pad, n_save, n_knot,
-                delta, tab_name, interpret):
+                delta, tab_name, interpret,
+                vmem_limit=64 * 1024 * 1024):
     kernel = _make_kernel(
         precision, grad_precision, B, F, n_save, n_knot, delta, tab_name,
     )
@@ -328,7 +331,7 @@ def _build_call(precision, grad_precision, B, F, H_pad, n_save, n_knot,
             pltpu.SemaphoreType.DMA((6,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=int(vmem_limit),
             has_side_effects=True,
         ),
         interpret=interpret,
@@ -365,7 +368,8 @@ def persistent_sde_sweep(params, knot_ts, knot_us, knot_dws, knot_dzs,
         return None
     H = w1.shape[1]
     H_pad = -(-H // 128) * 128
-    if not _plan(B, F_pad, H_pad, n_save):
+    vmem_need = _plan(B, F_pad, H_pad, n_save)
+    if vmem_need is None:
         return None
     n_knot = knot_us.shape[0]
 
@@ -387,6 +391,7 @@ def persistent_sde_sweep(params, knot_ts, knot_us, knot_dws, knot_dzs,
     call = _build_call(
         precision, grad_precision, B, F_pad, H_pad, n_save, n_knot,
         float(delta), solver, _interpret(),
+        vmem_limit=vmem_need + 6 * 1024 * 1024,
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     out = call(

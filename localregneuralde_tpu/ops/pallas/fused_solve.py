@@ -24,8 +24,9 @@ kernel eliminates the carrier traffic entirely:
   outputs are written during the stage pass; a rejected attempt's write is
   always overwritten later by the accepted step that crosses ``s``
   (last-write-wins on a mutable ref — the functional XLA loop can't do
-  this). Only if the solve FAILS (max_steps exhausted, success=False) can a
-  rejected attempt's value remain.
+  this). A post-loop fixup reverts entries beyond the final accepted time
+  to ``u0``, so FAILED solves (max_steps exhausted) match the XLA loop's
+  accept-only commits too.
 - **Knot recording for the stored adjoint streams to HBM via async DMA**:
   on accept, the committed ``(u, k1)`` are DMA'd to the knot buffers while
   the next attempt computes; the copy is awaited at the *next* accept
@@ -494,6 +495,16 @@ def _make_kernel(precision, rtol, atol, B, F, F_logical, tb, n_save,
         t_f, _, _, done, natt, nacc, nrej, res_t = lax.while_loop(
             cond, attempt, init
         )
+
+        # entries never covered by an ACCEPTED step revert to u0: the
+        # speculative stage-pass writes can leave a REJECTED attempt's
+        # interpolant behind when the solve fails/truncates (the XLA loop
+        # only commits on accept — solve.py's hit & upd); on success this
+        # is a no-op since accepted coverage reaches t_end.
+        for s_idx in range(n_save):
+            @pl.when(saveat_ref[s_idx] > t_f)
+            def _(s_idx=s_idx):
+                ys_ref[s_idx] = u0_ref[:]
 
         if record_knots:
             # the last accept's DMA (or the init DMA) is still in flight

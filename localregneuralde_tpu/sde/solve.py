@@ -139,7 +139,7 @@ def sdesolve(
         return stored_sdesolve(
             f, g, u0, tspan, p, noise_key=noise_key, rtol=rtol, atol=atol,
             solver=solver, delta=delta, saveat=saveat, max_steps=max_steps,
-            stateful=stateful, f_state=f_state, g_state=g_state,
+            dt0=dt0, stateful=stateful, f_state=f_state, g_state=g_state,
             reservoir_key=reservoir_key, brownian_depth=brownian_depth,
             noise_shape=noise_shape, persistent_fn=persistent_fn,
             persistent_sweep_fn=persistent_sweep_fn,

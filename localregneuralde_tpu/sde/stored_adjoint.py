@@ -53,6 +53,7 @@ def stored_sdesolve(
     delta: float = 1 / 6,
     saveat=None,
     max_steps: int = 256,
+    dt0=None,
     stateful: bool = False,
     f_state: Any = None,
     g_state: Any = None,
@@ -86,8 +87,8 @@ def stored_sdesolve(
 
     solve_kwargs = dict(
         noise_key=noise_key, rtol=rtol, atol=atol, solver=solver,
-        delta=delta, max_steps=max_steps, brownian_depth=brownian_depth,
-        noise_shape=noise_shape,
+        delta=delta, max_steps=max_steps, dt0=dt0,
+        brownian_depth=brownian_depth, noise_shape=noise_shape,
     )
 
     def step_out(p_, u, t, dt, dW, dZ):
@@ -146,9 +147,17 @@ def stored_sdesolve(
         ct_ys, ct_y = cts[0], cts[1]
         p_flat, unravel_p = ravel_pytree(p)
 
-        pre = (saveat_arr <= t0).astype(u0.dtype)
+        # entries the forward never wrote still hold the u0 broadcast —
+        # an identity function of u0: saveat <= t0 (by contract) AND
+        # anything beyond the last accepted time (truncated/failed
+        # solves). Dropping the latter silently zeroed d_u0 exactly in
+        # the max_steps-exhausted regime.
+        t_last = knot_ts[naccept]
+        unwritten = (
+            (saveat_arr <= t0) | (saveat_arr > t_last)
+        ).astype(u0.dtype)
         d_u0_pre = jnp.sum(
-            ct_ys * pre.reshape((-1,) + (1,) * u0.ndim), axis=0
+            ct_ys * unwritten.reshape((-1,) + (1,) * u0.ndim), axis=0
         )
 
         # whole-sweep persistent kernel (fused_sde_sweep.py): transposes
@@ -171,8 +180,10 @@ def stored_sdesolve(
             tn = knot_ts[j + 1]
             dt = tn - t
             # the persistent forward records knots PADDED to the 128
-            # lane (fused_sde_solve.py); slice per step — pads are exact
-            # zeros and never enter the transpose
+            # lane (fused_sde_solve.py); slice per step. u-knot pads are
+            # exact zeros, but the dW/dZ pads hold LIVE Brownian draws
+            # (the kernel draws on the full padded tile) — the slices
+            # below are load-bearing, not cosmetic
             u = knot_us[j][..., : u0.shape[-1]]
             nw = u0.shape[-1] if noise_shape is None else noise_shape[-1]
             dW = lax.stop_gradient(knot_dws[j][..., :nw])

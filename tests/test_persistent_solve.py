@@ -581,3 +581,21 @@ def test_persistent_gating_regression_guard():
         reservoir_key=None, dt0=None, f_state=None,
     )
     assert sol is not None and sol.knot_us is not None
+
+
+def test_failed_solve_ys_reverts_to_u0_beyond_t_final():
+    """Truncated solves: saveat entries beyond the final accepted time
+    must hold u0 (the XLA loop's accept-only commits), not a rejected
+    attempt's speculative interpolant — the post-loop fixup."""
+    td, ps, st, x = _setup()
+    out = persistent_tsit5_solve(
+        ps, x, (0.0, 1.0), rtol=1e-12, atol=1e-14,
+        saveat_arr=jnp.asarray([0.5, 1.0]), max_steps=2,
+    )
+    assert not bool(out["success"])
+    t_f = float(out["t_final"])
+    for i, s in enumerate([0.5, 1.0]):
+        if s > t_f:
+            np.testing.assert_array_equal(
+                np.asarray(out["ys"][i]), np.asarray(x)
+            )

@@ -258,3 +258,44 @@ def test_large_capacity_auto_windowing():
         np.testing.assert_allclose(
             np.asarray(gs[1][k]), np.asarray(gd[1][k]), rtol=1e-4, atol=1e-6
         )
+
+
+def test_truncated_solve_routes_uncovered_saveat_grads_to_u0():
+    """A solve that exhausts max_steps leaves uncovered saveat entries at
+    their u0 broadcast (the forward's init) — an identity function of u0.
+    The stored backward must credit d_u0 with those cotangents (it used
+    to silently drop them in exactly this truncation regime)."""
+    u0, p = _setup()
+    saveat = jnp.asarray([0.5, 1.0])
+
+    def loss(u0_):
+        sol = odesolve(
+            _f, u0_, (0.0, 1.0), p, rtol=1e-12, atol=1e-14, max_steps=2,
+            adjoint="stored", saveat=saveat,
+        )
+        return jnp.sum(sol.ys), sol.success
+
+    sol_ok = loss(u0)[1]
+    assert not bool(sol_ok), "config must truncate for this test"
+    g = jax.grad(lambda u: loss(u)[0])(u0)
+    # both entries uncovered -> ys = [u0, u0] -> d_u0 = 2 * ones
+    np.testing.assert_allclose(np.asarray(g), 2.0, rtol=1e-6)
+
+
+def test_truncated_sde_solve_routes_uncovered_saveat_grads_to_u0():
+    from localregneuralde_tpu.sde import sdesolve
+
+    u0 = jnp.arange(1.0, 5.0)
+
+    def loss(u0_):
+        sol = sdesolve(
+            lambda u, t, p: -u, lambda u, t, p: 0.1 * jnp.ones_like(u),
+            u0_, (0.0, 1.0), noise_key=jax.random.PRNGKey(0),
+            rtol=1e-12, atol=1e-14, max_steps=2, adjoint="stored",
+            saveat=jnp.asarray([1.0]),
+        )
+        return jnp.sum(sol.ys), sol.success
+
+    assert not bool(loss(u0)[1])
+    g = jax.grad(lambda u: loss(u)[0])(u0)
+    np.testing.assert_allclose(np.asarray(g), 1.0, rtol=1e-6)
