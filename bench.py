@@ -258,7 +258,37 @@ def _latent_bench(n_trials, n_iters):
     return _trimmed_median(rates)
 
 
+def _ensure_live_backend(timeout_s=600):
+    """Bounded backend-availability probe with CPU fallback.
+
+    The axon TPU relay has been observed UNAVAILABLE (2026-08-17 and
+    2026-08-18): in that state the first ``jax.devices()`` call hangs
+    indefinitely, which would hang the whole benchmark. Probe backend
+    init in a subprocess with a hard timeout; on failure, force the CPU
+    platform in THIS process before any jax API is touched (the
+    ``backend`` field in the output stays honest either way)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print(jax.default_backend())"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        if r.returncode == 0 and r.stdout.strip():
+            return r.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    print("backend probe failed/hung; falling back to CPU",
+          file=sys.stderr)
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
+
+
 def main():
+    _ensure_live_backend()
+
     # ---- headline: flagship ODE at rtol 1e-4
     model, loss_fn, nfe_of = _flagship_ode(1e-4, 64)
     nfe_per_sec, rates = _bench(model, loss_fn, nfe_of)
