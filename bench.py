@@ -283,11 +283,12 @@ def _ensure_live_backend(timeout_s=600):
     print("backend probe failed/hung; falling back to CPU",
           file=sys.stderr)
     jax.config.update("jax_platforms", "cpu")
-    return "cpu"
+    return None  # signals: CPU is a fallback, not the real target
 
 
 def main():
-    _ensure_live_backend()
+    probed = _ensure_live_backend()
+    relay_unavailable = probed is None
 
     # ---- headline: flagship ODE at rtol 1e-4
     model, loss_fn, nfe_of = _flagship_ode(1e-4, 64)
@@ -348,12 +349,18 @@ def main():
         "value": round(nfe_per_sec, 1),
         "unit": "dynamics evals/s (through full train steps)",
         "vs_baseline": round(nfe_per_sec / baseline, 4),
+        "backend": jax.default_backend(),
         "trial_band": [
             round(min(_reject_stalls(rates)), 1),
             round(max(_reject_stalls(rates)), 1),
         ],
         "stalled_trials": len(rates) - len(_reject_stalls(rates)),
     }
+    if relay_unavailable:
+        # the TPU relay was down (observed 2026-08-17/18); this run
+        # measured the CPU fallback, NOT the TPU — vs_baseline (a TPU
+        # number) is not meaningful for this sample.
+        out["relay_unavailable"] = True
     if sde_rate is not None:
         out["sde_evals_per_sec"] = round(sde_rate, 1)
     if paper_rate is not None:
