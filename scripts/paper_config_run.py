@@ -3,9 +3,15 @@
 Tsit5, abstol=reltol=1.4e-8, batch 512, Adam 1e-3 constant, w_reg 2.5→1.0
 exponential over the full schedule — comparing regularize none vs unbiased.
 
-Usage: python scripts/paper_config_run.py [steps=1500] [max_steps=512] [out.json]
+Usage: python scripts/paper_config_run.py [steps=1500] [max_steps=512] \
+           [out.json] [arms=none,unbiased] [save_dir] [difficulty=easy]
+
+difficulty='hard' uses the non-saturating synthetic variant (accuracy
+plateaus below ~93%), making the matched-accuracy control discriminating
+at the paper tolerance.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -13,6 +19,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+
+if os.environ.get("LRN_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -49,7 +59,7 @@ def make_cfg(regularize, total_steps, max_steps):
     return cfg
 
 
-def run(regularize, steps, max_steps, save_params=None):
+def run(regularize, steps, max_steps, save_params=None, difficulty="easy"):
     cfg = make_cfg(regularize, steps, max_steps)
     model = construct_model(cfg)
     loss_fn, w_sched = construct_loss(cfg)
@@ -58,7 +68,8 @@ def run(regularize, steps, max_steps, save_params=None):
     train_step = make_train_step(model, loss_fn, optimizer)
 
     x_train, y_train, x_test, y_test = synthetic_classification(
-        (28, 28), 1, 10, n_train=8192, n_test=2048, seed=0
+        (28, 28), 1, 10, n_train=8192, n_test=2048, seed=0,
+        difficulty=difficulty,
     )
     y_oh = one_hot(y_train, 10)
     rng = np.random.RandomState(0)
@@ -105,6 +116,8 @@ def run(regularize, steps, max_steps, save_params=None):
         final_eval_success=bool(stats_e.get("solver_success", True)),
         all_train_success=all(r["success"] for r in log),
         max_steps=max_steps,
+        difficulty=difficulty,
+        backend=jax.default_backend(),
     )
 
 
@@ -114,12 +127,14 @@ def main():
     out = sys.argv[3] if len(sys.argv) > 3 else "paper_config_run.json"
     arms = sys.argv[4].split(",") if len(sys.argv) > 4 else ["none", "unbiased"]
     save_dir = sys.argv[5] if len(sys.argv) > 5 else None
+    difficulty = sys.argv[6] if len(sys.argv) > 6 else "easy"
     results = []
     for reg in arms:
-        print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}) ===",
-              flush=True)
+        print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}, "
+              f"difficulty={difficulty}) ===", flush=True)
         sp = f"{save_dir}/paper_params_{reg}.pkl" if save_dir else None
-        results.append(run(reg, steps, max_steps, save_params=sp))
+        results.append(run(reg, steps, max_steps, save_params=sp,
+                           difficulty=difficulty))
     if len(results) < 2:
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
