@@ -4,7 +4,11 @@ Tsit5, abstol=reltol=1.4e-8, batch 512, Adam 1e-3 constant, w_reg 2.5→1.0
 exponential over the full schedule — comparing regularize none vs unbiased.
 
 Usage: python scripts/paper_config_run.py [steps=1500] [max_steps=512] \
-           [out.json] [arms=none,unbiased] [save_dir] [difficulty=easy]
+           [out.json] [arms=none,unbiased] [save_dir] [difficulty=easy] \
+           [seed=cfg-default]
+
+seed varies model init AND batch order (the task data stays fixed) for
+multiseed robustness runs.
 
 difficulty='hard' uses the non-saturating synthetic variant (accuracy
 plateaus below ~93%), making the matched-accuracy control discriminating
@@ -59,8 +63,11 @@ def make_cfg(regularize, total_steps, max_steps):
     return cfg
 
 
-def run(regularize, steps, max_steps, save_params=None, difficulty="easy"):
+def run(regularize, steps, max_steps, save_params=None, difficulty="easy",
+        seed=None):
     cfg = make_cfg(regularize, steps, max_steps)
+    if seed is not None:
+        cfg.seed = seed
     model = construct_model(cfg)
     loss_fn, w_sched = construct_loss(cfg)
     optimizer, lr_sched = construct_optimizer(cfg)
@@ -72,7 +79,7 @@ def run(regularize, steps, max_steps, save_params=None, difficulty="easy"):
         difficulty=difficulty,
     )
     y_oh = one_hot(y_train, 10)
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(cfg.seed)
 
     log = []
     t_start = time.time()
@@ -117,6 +124,7 @@ def run(regularize, steps, max_steps, save_params=None, difficulty="easy"):
         all_train_success=all(r["success"] for r in log),
         max_steps=max_steps,
         difficulty=difficulty,
+        seed=int(cfg.seed),
         backend=jax.default_backend(),
     )
 
@@ -127,14 +135,17 @@ def main():
     out = sys.argv[3] if len(sys.argv) > 3 else "paper_config_run.json"
     arms = sys.argv[4].split(",") if len(sys.argv) > 4 else ["none", "unbiased"]
     save_dir = sys.argv[5] if len(sys.argv) > 5 else None
+    if save_dir in ("-", ""):
+        save_dir = None
     difficulty = sys.argv[6] if len(sys.argv) > 6 else "easy"
+    seed = int(sys.argv[7]) if len(sys.argv) > 7 else None
     results = []
     for reg in arms:
         print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}, "
-              f"difficulty={difficulty}) ===", flush=True)
+              f"difficulty={difficulty}, seed={seed}) ===", flush=True)
         sp = f"{save_dir}/paper_params_{reg}.pkl" if save_dir else None
         results.append(run(reg, steps, max_steps, save_params=sp,
-                           difficulty=difficulty))
+                           difficulty=difficulty, seed=seed))
     if len(results) < 2:
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
