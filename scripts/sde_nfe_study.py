@@ -103,7 +103,7 @@ def run(name, regularize, w_reg, steps, seed=0, difficulty="hard"):
     y_train_oh = one_hot(y_train, 10)
 
     nfe_log, acc_log = [], []
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     t0 = time.time()
     for step in range(1, steps + 1):
         idx = rng.randint(0, len(x_train), batch)
@@ -149,6 +149,7 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     out_path = sys.argv[2] if len(sys.argv) > 2 else "sde_nfe_study.json"
     difficulty = sys.argv[3] if len(sys.argv) > 3 else "hard"
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     arms = [
         ("none", "none", 0.0),
         ("unbiased-1000", "unbiased", 1000.0),  # mlp.yml's exact weight
@@ -157,7 +158,8 @@ def main():
     results = []
     for name, reg, w in arms:
         print(f"=== {name} ===", flush=True)
-        results.append(run(name, reg, w, steps, difficulty=difficulty))
+        results.append(run(name, reg, w, steps, seed=seed,
+                           difficulty=difficulty))
     base = results[0]
     for r in results[1:]:
         r["nfe_reduction_vs_none"] = base["final_eval_nfe_drift"] / max(
@@ -167,7 +169,7 @@ def main():
         r["matched_accuracy"] = bool(
             r["final_eval_acc"] >= base["final_eval_acc"] - 2.0
         )
-    meta = {"steps": steps, "difficulty": difficulty,
+    meta = {"steps": steps, "difficulty": difficulty, "seed": seed,
             "backend": jax.default_backend(), "config": YAML}
     with open(out_path, "w") as f:
         json.dump({"meta": meta, "arms": results}, f, indent=1)
