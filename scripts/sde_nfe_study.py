@@ -17,6 +17,10 @@ Arms: none / unbiased w_reg=1000 (the reference's exact weight) /
 unbiased w_reg=100 (sensitivity cross-check).
 
 Usage: python scripts/sde_nfe_study.py [steps] [out.json] [difficulty]
+           [seed] [arms]
+       ``arms`` is a comma list of ``none`` and/or w_reg values
+       (default ``none,1000,100``) — e.g. ``none,300`` for the
+       intermediate-weight ladder cell.
 Env:   LRN_CPU=1 forces the CPU backend (relay-outage fallback).
 """
 import json
@@ -150,11 +154,16 @@ def main():
     out_path = sys.argv[2] if len(sys.argv) > 2 else "sde_nfe_study.json"
     difficulty = sys.argv[3] if len(sys.argv) > 3 else "hard"
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    arms = [
-        ("none", "none", 0.0),
-        ("unbiased-1000", "unbiased", 1000.0),  # mlp.yml's exact weight
-        ("unbiased-100", "unbiased", 100.0),
-    ]
+    arm_spec = sys.argv[5] if len(sys.argv) > 5 else "none,1000,100"
+    arms = []
+    for tok in arm_spec.split(","):
+        if tok == "none":
+            arms.append(("none", "none", 0.0))
+        else:
+            w = float(tok)
+            arms.append((f"unbiased-{tok}", "unbiased", w))
+    if arms[0][1] != "none":
+        raise SystemExit("first arm must be 'none' (the reduction base)")
     results = []
     for name, reg, w in arms:
         print(f"=== {name} ===", flush=True)
