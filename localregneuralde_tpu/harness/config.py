@@ -123,6 +123,12 @@ class TrainConfig:
     # 'model' mesh-axis size (tensor parallel over the dynamics Dense
     # layers); >1 requires data_parallel=gspmd.
     tensor_parallel: int = 1
+    # K > 1 scans K optimizer steps inside ONE donated jit per host
+    # dispatch (amortizes dispatch latency + host-side batch handling;
+    # train.make_multi_train_step). Must divide print_frequency and
+    # evaluate_every; single-device only. TPU-first addition — no
+    # reference counterpart.
+    steps_per_call: int = 1
 
 
 @dataclass

@@ -199,12 +199,35 @@ def run_classification_experiment(
         (xw, yw), float(w_reg_sched(1)),
     )
 
+    # --- optional multi-step fused train call (TPU-first addition):
+    # train.steps_per_call=K scans K optimizer steps inside ONE donated jit
+    # per host dispatch (train.make_multi_train_step). Validated here so a
+    # bad config fails before any compilation.
+    spc = max(1, int(cfg.train.steps_per_call))
+    if spc > 1:
+        if cfg.train.data_parallel != "none":
+            raise ValueError(
+                "train.steps_per_call > 1 is single-device only "
+                "(data_parallel='none')"
+            )
+        if (cfg.train.print_frequency % spc
+                or cfg.train.evaluate_every % spc):
+            raise ValueError(
+                f"train.steps_per_call={spc} must divide both "
+                f"print_frequency ({cfg.train.print_frequency}) and "
+                f"evaluate_every ({cfg.train.evaluate_every}) so the "
+                "logging/eval cadence is preserved exactly"
+            )
+
     # warmup: trigger XLA compilation before timing starts
-    # (reference utils.jl:126-137)
+    # (reference utils.jl:126-137). In block mode the single-step train
+    # program is never used — _run_block_loop warms the scanned K-step
+    # program instead (skipping a wasted full compile of the 1-step one).
     from .train import warmup_model
 
     warmup_model(
-        train_step, eval_step, ts, place_batch((xw, yw)),
+        train_step if spc == 1 else None, eval_step, ts,
+        place_batch((xw, yw)),
         float(w_reg_sched(1)), float(lr_sched(1)),
     )
 
@@ -263,6 +286,74 @@ def run_classification_experiment(
 
     measure_phases = make_phase_probes(model, loss_fn, optimizer)
 
+    def print_window(step, sums, n, ok, window_wall, data_time_sum, bs,
+                     batch, w_reg, ts):
+        for k in stat_keys:
+            tm[k].update(float(sums[k]) / n, n * bs)
+        t_fwd, t_fwdbwd = measure_phases(ts, batch, w_reg)
+        step_time = window_wall / n
+        tm["batch_time"].update(window_wall / n, n)
+        tm["data_time"].update(data_time_sum / n, n)
+        tm["step_time"].update(step_time, n)
+        tm["fwd_time"].update(t_fwd, n)
+        tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
+        tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
+        if not ok:
+            print(
+                f"WARNING [{step}]: adaptive solve exhausted max_steps "
+                "within this window (integration truncated; raise "
+                "solver.max_steps or loosen tolerances)",
+                flush=True,
+            )
+        row = get_loggable_values(tm, loggers["train_header"], step)
+        loggers["csv_train"].log(row)
+        loggers["wandb"].log(
+            dict(zip(loggers["train_header"], row)), step=step
+        )
+        print(
+            f"[{step}/{total_steps}] "
+            + " ".join(
+                f"{k}={tm[k].average:.4f}"
+                for k in loggers["train_header"][1:]
+            ),
+            flush=True,
+        )
+        reset_meters(tm)
+
+    def eval_and_checkpoint(step, w_reg, ts):
+        nonlocal best_eval_acc
+        eval_metrics = evaluate_classification(
+            cfg, eval_step, ts, eval_loader_spec, w_reg
+        )
+        em = loggers["eval_meters"]
+        for k, v in eval_metrics.items():
+            if k in em:
+                em[k].update(v)
+        row = get_loggable_values(em, loggers["eval_header"], step)
+        loggers["csv_eval"].log(row)
+        loggers["wandb"].log(
+            {f"eval_{k}": v for k, v in eval_metrics.items()}, step=step
+        )
+        print(f"[eval @ {step}] {eval_metrics}", flush=True)
+        reset_meters(em)
+
+        is_best = eval_metrics["accuracy_top1"] >= best_eval_acc
+        best_eval_acc = max(best_eval_acc, eval_metrics["accuracy_top1"])
+        save_checkpoint(
+            {"tstate": jax.device_get(ts), "step": step},
+            fdir=ckpt_dir,
+            fname=f"model_step_{step}.ckpt",
+            is_best=is_best,
+        )
+
+    if spc > 1:
+        return _run_block_loop(
+            cfg, model, loss_fn, optimizer, spc, ts, data_iter, place_batch,
+            (xw, yw), w_reg_sched, lr_sched, initial_step, total_steps,
+            stat_keys, print_window, eval_and_checkpoint,
+            lambda: best_eval_acc, is_real, ckpt_dir, log_dir,
+        )
+
     acc = zero_acc()
     data_time_sum = 0.0
     t_window = time.perf_counter()
@@ -284,66 +375,17 @@ def run_classification_experiment(
         if step % cfg.train.print_frequency == 0:
             w = jax.device_get(acc)  # the window's single host sync
             n = max(int(w["n"]), 1)
-            window_wall = time.perf_counter() - t_window
-            for k in stat_keys:
-                tm[k].update(float(w["sums"][k]) / n, n * bs)
-            t_fwd, t_fwdbwd = measure_phases(ts, batch, w_reg)
-            step_time = window_wall / n
-            tm["batch_time"].update(window_wall / n, n)
-            tm["data_time"].update(data_time_sum / n, n)
-            tm["step_time"].update(step_time, n)
-            tm["fwd_time"].update(t_fwd, n)
-            tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
-            tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
-            if not bool(w["ok"]):
-                print(
-                    f"WARNING [{step}]: adaptive solve exhausted max_steps "
-                    "within this window (integration truncated; raise "
-                    "solver.max_steps or loosen tolerances)",
-                    flush=True,
-                )
-            row = get_loggable_values(tm, loggers["train_header"], step)
-            loggers["csv_train"].log(row)
-            loggers["wandb"].log(
-                dict(zip(loggers["train_header"], row)), step=step
+            print_window(
+                step, w["sums"], n, bool(w["ok"]),
+                time.perf_counter() - t_window, data_time_sum, bs,
+                batch, w_reg, ts,
             )
-            print(
-                f"[{step}/{total_steps}] "
-                + " ".join(
-                    f"{k}={tm[k].average:.4f}"
-                    for k in loggers["train_header"][1:]
-                ),
-                flush=True,
-            )
-            reset_meters(tm)
             acc = zero_acc()
             data_time_sum = 0.0
             t_window = time.perf_counter()
 
         if step % cfg.train.evaluate_every == 0 or step == total_steps:
-            eval_metrics = evaluate_classification(
-                cfg, eval_step, ts, eval_loader_spec, w_reg
-            )
-            em = loggers["eval_meters"]
-            for k, v in eval_metrics.items():
-                if k in em:
-                    em[k].update(v)
-            row = get_loggable_values(em, loggers["eval_header"], step)
-            loggers["csv_eval"].log(row)
-            loggers["wandb"].log(
-                {f"eval_{k}": v for k, v in eval_metrics.items()}, step=step
-            )
-            print(f"[eval @ {step}] {eval_metrics}", flush=True)
-            reset_meters(em)
-
-            is_best = eval_metrics["accuracy_top1"] >= best_eval_acc
-            best_eval_acc = max(best_eval_acc, eval_metrics["accuracy_top1"])
-            save_checkpoint(
-                {"tstate": jax.device_get(ts), "step": step},
-                fdir=ckpt_dir,
-                fname=f"model_step_{step}.ckpt",
-                is_best=is_best,
-            )
+            eval_and_checkpoint(step, w_reg, ts)
 
     return {
         "best_eval_acc": float(best_eval_acc),
@@ -351,6 +393,121 @@ def run_classification_experiment(
         "real_data": bool(is_real),
         "ckpt_dir": ckpt_dir,
         "log_dir": log_dir,
+    }
+
+
+def _run_block_loop(cfg, model, loss_fn, optimizer, spc, ts, data_iter,
+                    place_batch, warmup_batch, w_reg_sched, lr_sched,
+                    initial_step, total_steps, stat_keys, print_window,
+                    eval_and_checkpoint, get_best, is_real, ckpt_dir,
+                    log_dir):
+    """The K-steps-per-dispatch variant of the training loop
+    (``train.steps_per_call`` > 1): each iteration feeds K stacked batches
+    + per-step (w_reg, lr) arrays to the scanned multi-step program and
+    gets back per-window stat SUMS (reduced in-kernel — no per-step stats
+    traffic). Because K divides print_frequency and evaluate_every
+    (validated by the caller), logging/eval/checkpoint fire at exactly the
+    same step numbers as the single-step loop."""
+    from .train import make_multi_train_step
+
+    sde = cfg.model.sde
+
+    def window_reduce(loss, stats, data):
+        a1, a5 = accuracy(stats["y_pred"], data[1], (1, 5))
+        vals = {
+            "net_loss": loss,
+            "ce_loss": stats["ce_loss"],
+            "reg_val": stats["reg_val"],
+            "accuracy_top1": a1,
+            "accuracy_top5": a5,
+        }
+        if sde:
+            vals["nfe_drift"] = stats["nfe"][0].astype(jnp.float32)
+            vals["nfe_diffusion"] = stats["nfe"][1].astype(jnp.float32)
+        else:
+            vals["nfe"] = stats["nfe"].astype(jnp.float32)
+        ok = stats.get("solver_success", jnp.asarray(True))
+        vals["n_fail"] = 1.0 - ok.astype(jnp.float32)
+        return vals
+
+    multi_step = make_multi_train_step(
+        model, loss_fn, optimizer, reduce_fn=window_reduce
+    )
+
+    def stack_host(batches):
+        return tuple(
+            np.stack([b[i] for b in batches]) for i in range(2)
+        )
+
+    # warmup: compile the K-step program on K copies of the warmup batch
+    xw, yw = warmup_batch
+    wstack = place_batch((
+        np.broadcast_to(np.asarray(xw), (spc,) + xw.shape).copy(),
+        np.broadcast_to(np.asarray(yw), (spc,) + yw.shape).copy(),
+    ))
+    wr0 = np.full((spc,), float(w_reg_sched(1)), np.float32)
+    lr0 = np.full((spc,), float(lr_sched(1)), np.float32)
+    import copy as _copy
+
+    ts_copy = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else _copy.copy(x), ts
+    )
+    _, wl, _ = multi_step(ts_copy, wstack, wr0, lr0)
+    wl.block_until_ready()
+    del ts_copy
+
+    pending = []  # device-side per-block stat sums, synced once per window
+    window_n = 0
+    data_time_sum = 0.0
+    t_window = time.perf_counter()
+    step = initial_step - 1
+    while step < total_steps:
+        # realign to the spc grid (a resume can land off-grid) so the
+        # print/eval boundaries — multiples of spc — are always hit
+        bk = min(spc - (step % spc), total_steps - step)
+        t0 = time.perf_counter()
+        host_batches = [next(data_iter) for _ in range(bk)]
+        xstack, ystack = stack_host(host_batches)
+        data_time_sum += time.perf_counter() - t0
+        steps = range(step + 1, step + bk + 1)
+        w_regs = np.asarray([w_reg_sched(s) for s in steps], np.float32)
+        lrs = np.asarray([lr_sched(s) for s in steps], np.float32)
+        batch_stack = place_batch((xstack, ystack))
+        ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
+        pending.append(red)
+        window_n += bk
+        step += bk
+        w_reg = float(w_regs[-1])
+
+        if step % cfg.train.print_frequency == 0:
+            reds = jax.device_get(pending)  # the window's single host sync
+            pending = []
+            sums = {
+                k: sum(float(r[k]) for r in reds) for k in stat_keys
+            }
+            n_fail = sum(float(r["n_fail"]) for r in reds)
+            last_batch = jax.tree_util.tree_map(
+                lambda x: x[-1], batch_stack
+            )
+            print_window(
+                step, sums, max(window_n, 1), n_fail == 0.0,
+                time.perf_counter() - t_window, data_time_sum,
+                xstack.shape[1], last_batch, w_reg, ts,
+            )
+            window_n = 0
+            data_time_sum = 0.0
+            t_window = time.perf_counter()
+
+        if step % cfg.train.evaluate_every == 0 or step == total_steps:
+            eval_and_checkpoint(step, w_reg, ts)
+
+    return {
+        "best_eval_acc": float(get_best()),
+        "final_step": total_steps,
+        "real_data": bool(is_real),
+        "ckpt_dir": ckpt_dir,
+        "log_dir": log_dir,
+        "steps_per_call": spc,
     }
 
 

@@ -16,6 +16,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 
 from ..core.struct import pytree_dataclass, replace as struct_replace
 
@@ -62,6 +63,36 @@ def settle_state_shapes(model, loss_fn, ts: TrainState, data,
     return struct_replace(ts, state=settled)
 
 
+def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
+                     w_reg, lr):
+    """One forward+backward+optimizer update — the shared body of the
+    single-step and multi-step train calls."""
+
+    def objective(params):
+        loss, st_, stats = loss_fn(
+            model, params, ts.state, data, w_reg, training=True
+        )
+        return loss, (st_, stats)
+
+    (loss, (st_, stats)), grads = jax.value_and_grad(
+        objective, has_aux=True
+    )(ts.params)
+    opt_state = ts.opt_state
+    opt_state.hyperparams["learning_rate"] = lr
+    updates, opt_state = optimizer.update(grads, opt_state, ts.params)
+    params = optax.apply_updates(ts.params, updates)
+    return (
+        TrainState(
+            params=params,
+            state=st_,
+            opt_state=opt_state,
+            step=ts.step + 1,
+        ),
+        loss,
+        stats,
+    )
+
+
 def make_train_step(model, loss_fn, optimizer) -> Callable:
     """Build the fused jitted train step.
 
@@ -73,31 +104,51 @@ def make_train_step(model, loss_fn, optimizer) -> Callable:
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, data, w_reg, lr):
-        def objective(params):
-            loss, st_, stats = loss_fn(
-                model, params, ts.state, data, w_reg, training=True
-            )
-            return loss, (st_, stats)
-
-        (loss, (st_, stats)), grads = jax.value_and_grad(
-            objective, has_aux=True
-        )(ts.params)
-        opt_state = ts.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = optimizer.update(grads, opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
-        return (
-            TrainState(
-                params=params,
-                state=st_,
-                opt_state=opt_state,
-                step=ts.step + 1,
-            ),
-            loss,
-            stats,
-        )
+        return _fused_step_body(model, loss_fn, optimizer, ts, data,
+                                w_reg, lr)
 
     return train_step
+
+
+def make_multi_train_step(model, loss_fn, optimizer,
+                          reduce_fn: Callable = None) -> Callable:
+    """Fused K-step train call: a donated jit around ``lax.scan`` over the
+    single-step body — K optimizer steps per host dispatch.
+
+    TPU-first addition (no reference counterpart — the reference dispatches
+    one CUDA step per Julia loop iteration): each host→device round trip
+    costs fixed dispatch latency plus Python-side batch handling; scanning
+    K steps on device amortizes both by K× while keeping the arithmetic of
+    K sequential single steps (the scan body IS the single-step body).
+
+    ``multi_step(ts, data_stack, w_regs, lrs) -> (ts', last_loss, red)``
+    where every leaf of ``data_stack`` / ``w_regs`` carries a leading K
+    axis and ``lrs`` is ``(K,)``. ``red`` is the per-step
+    ``reduce_fn(loss, stats, data) -> pytree`` (scalars) summed over the K
+    steps — default: ``{"loss": Σ loss}``. Keeping the reduction in-kernel
+    avoids staging K copies of bulky stats (e.g. ``y_pred``) back to the
+    host.
+    """
+    if reduce_fn is None:
+        def reduce_fn(loss, stats, data):  # noqa: F811 — default reducer
+            return {"loss": loss}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def multi_step(ts: TrainState, data_stack, w_regs, lrs):
+        def body(ts, xs):
+            data, w_reg, lr = xs
+            ts, loss, stats = _fused_step_body(
+                model, loss_fn, optimizer, ts, data, w_reg, lr
+            )
+            return ts, (loss, reduce_fn(loss, stats, data))
+
+        ts, (losses, reds) = lax.scan(
+            body, ts, (data_stack, w_regs, lrs)
+        )
+        red = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), reds)
+        return ts, losses[-1], red
+
+    return multi_step
 
 
 def make_eval_step(model, loss_fn) -> Callable:
@@ -173,13 +224,16 @@ def run_training_step(train_step, ts, data, w_reg, lr, timed: bool = False):
 def warmup_model(train_step, eval_step, ts, data, w_reg, lr):
     """One forward+backward+update on dummy data to trigger XLA compilation
     before timing starts (reference ``utils.jl:126-153``). The updated
-    TrainState is discarded; only compilation caches persist."""
+    TrainState is discarded; only compilation caches persist.
+    ``train_step=None`` warms only the eval program (block mode compiles
+    its own scanned multi-step program instead)."""
     import copy
 
     ts_copy = jax.tree_util.tree_map(lambda x: x.copy() if hasattr(x, "copy") else copy.copy(x), ts)
-    out_ts, loss, _ = train_step(ts_copy, data, w_reg, lr)
-    loss.block_until_ready()
+    if train_step is not None:
+        ts_copy, loss, _ = train_step(ts_copy, data, w_reg, lr)
+        loss.block_until_ready()
     if eval_step is not None:
-        l2, _ = eval_step(out_ts, data, w_reg)
+        l2, _ = eval_step(ts_copy, data, w_reg)
         l2.block_until_ready()
     return None
