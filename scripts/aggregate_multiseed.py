@@ -55,9 +55,9 @@ def collect_ode():
     return rows
 
 
-def collect_sde(arm_name="unbiased-1000"):
+def collect_sde(arm_name="unbiased-1000", pattern="sde_nfe_study*.json"):
     rows = []
-    for f in sorted(glob.glob(str(ROOT / "sde_nfe_study*.json"))):
+    for f in sorted(glob.glob(str(ROOT / pattern))):
         d = json.load(open(f))
         arms = {a["arm"]: a for a in d.get("arms", [])}
         if "none" not in arms or arm_name not in arms:
@@ -78,7 +78,12 @@ def collect_sde(arm_name="unbiased-1000"):
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "multiseed_summary.json"
     ode, sde = collect_ode(), collect_sde()
-    summary = {"ode_paper_tol_hard": {"rows": ode}, "sde_wreg1000": {"rows": sde}}
+    sde300 = collect_sde("unbiased-300", "sde_wreg300_s*.json")
+    summary = {
+        "ode_paper_tol_hard": {"rows": ode},
+        "sde_wreg1000": {"rows": sde},
+        "sde_wreg300": {"rows": sde300},
+    }
     for key in summary:
         rows = summary[key]["rows"]
         if rows:
