@@ -160,8 +160,137 @@ def run_latent_ode_experiment(
 
     measure_phases = make_phase_probes(model, loss_fn, optimizer)
 
+    def print_window(step, sums, n, ok, window_wall, data_time_sum, bs,
+                     batch, w, ts):
+        for k in stat_keys:
+            tm[k].update(float(sums[k]) / n, n * bs)
+        t_fwd, t_fwdbwd = measure_phases(ts, batch, w)
+        step_time = window_wall / n
+        tm["batch_time"].update(window_wall / n, n)
+        tm["data_time"].update(data_time_sum / n, n)
+        tm["step_time"].update(step_time, n)
+        tm["fwd_time"].update(t_fwd, n)
+        tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
+        tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
+        if not ok:
+            print(
+                f"WARNING [{step}]: adaptive solve exhausted max_steps "
+                "within this window",
+                flush=True,
+            )
+        row = get_loggable_values(tm, loggers["train_header"], step)
+        loggers["csv_train"].log(row)
+        loggers["wandb"].log(
+            dict(zip(loggers["train_header"], row)), step=step
+        )
+        print(
+            f"[{step}/{cfg.train.total_steps}] "
+            + " ".join(
+                f"{k}={tm[k].average:.4f}"
+                for k in loggers["train_header"][1:]
+            ),
+            flush=True,
+        )
+        reset_meters(tm)
+
     best_test_loss = np.inf
     data_iter = iter(train_loader)
+
+    # --- optional K-steps-per-dispatch block loop (train.steps_per_call;
+    # same semantics/validation as the classification runner)
+    spc = max(1, int(cfg.train.steps_per_call))
+    if spc > 1:
+        if cfg.train.data_parallel != "none":
+            raise ValueError(
+                "train.steps_per_call > 1 is single-device only "
+                "(data_parallel='none')"
+            )
+        if (cfg.train.print_frequency % spc
+                or cfg.train.evaluate_every % spc):
+            raise ValueError(
+                f"train.steps_per_call={spc} must divide both "
+                f"print_frequency ({cfg.train.print_frequency}) and "
+                f"evaluate_every ({cfg.train.evaluate_every})"
+            )
+
+    if spc > 1:
+        from .train import make_multi_train_step
+
+        def latent_reduce(loss, stats, data):
+            ok = stats.get("solver_success", jnp.asarray(True))
+            return {
+                "net_loss": loss,
+                "neg_log_likelihood": stats["neg_log_likelihood"],
+                "kl_div": stats["kl_div"],
+                "reg_val": stats["reg_val"],
+                "nfe": stats["nfe"].astype(jnp.float32),
+                "n_fail": 1.0 - ok.astype(jnp.float32),
+            }
+
+        multi_step = make_multi_train_step(
+            model, loss_fn, optimizer, reduce_fn=latent_reduce
+        )
+
+        pending = []
+        window_n = 0
+        data_time_sum = 0.0
+        t_window = time.perf_counter()
+        step = initial_step - 1
+        while step < cfg.train.total_steps:
+            bk = min(spc - (step % spc), cfg.train.total_steps - step)
+            t0 = time.perf_counter()
+            host = [next(data_iter) for _ in range(bk)]
+            stacked = tuple(
+                np.stack([b[i] for b in host]) for i in range(3)
+            )
+            data_time_sum += time.perf_counter() - t0
+            srange = range(step + 1, step + bk + 1)
+            w_regs = (
+                np.asarray([w_reg_sched(s) for s in srange], np.float32),
+                np.asarray([w_kl_sched(s) for s in srange], np.float32),
+            )
+            lrs = np.asarray([lr_sched(s) for s in srange], np.float32)
+            batch_stack = place_batch(stacked)
+            ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
+            pending.append(red)
+            window_n += bk
+            step += bk
+            w = (float(w_regs[0][-1]), float(w_regs[1][-1]))
+
+            if step % cfg.train.print_frequency == 0:
+                reds = jax.device_get(pending)
+                pending = []
+                sums = {
+                    k: sum(float(r[k]) for r in reds) for k in stat_keys
+                }
+                n_fail = sum(float(r["n_fail"]) for r in reds)
+                last_batch = jax.tree_util.tree_map(
+                    lambda x: x[-1], batch_stack
+                )
+                print_window(
+                    step, sums, max(window_n, 1), n_fail == 0.0,
+                    time.perf_counter() - t_window, data_time_sum,
+                    stacked[0].shape[1], last_batch, w, ts,
+                )
+                window_n = 0
+                data_time_sum = 0.0
+                t_window = time.perf_counter()
+
+            if (step % cfg.train.evaluate_every == 0
+                    or step == cfg.train.total_steps):
+                best_test_loss = _latent_eval_ckpt(
+                    cfg, eval_forward, ts, test_arrays, step,
+                    best_test_loss, loggers, ckpt_dir,
+                )
+
+        return {
+            "best_eval_mse": float(best_test_loss),
+            "real_data": bool(is_real),
+            "ckpt_dir": ckpt_dir,
+            "log_dir": log_dir,
+            "steps_per_call": spc,
+        }
+
     acc = zero_acc()
     data_time_sum = 0.0
     t_window = time.perf_counter()
@@ -182,68 +311,19 @@ def run_latent_ode_experiment(
         if step % cfg.train.print_frequency == 0:
             wv = jax.device_get(acc)  # the window's single host sync
             n = max(int(wv["n"]), 1)
-            window_wall = time.perf_counter() - t_window
-            for k in stat_keys:
-                tm[k].update(float(wv["sums"][k]) / n, n * bs)
-            t_fwd, t_fwdbwd = measure_phases(ts, batch, w)
-            step_time = window_wall / n
-            tm["batch_time"].update(window_wall / n, n)
-            tm["data_time"].update(data_time_sum / n, n)
-            tm["step_time"].update(step_time, n)
-            tm["fwd_time"].update(t_fwd, n)
-            tm["bwd_time"].update(max(t_fwdbwd - t_fwd, 0.0), n)
-            tm["opt_time"].update(max(step_time - t_fwdbwd, 0.0), n)
-            if not bool(wv["ok"]):
-                print(
-                    f"WARNING [{step}]: adaptive solve exhausted max_steps "
-                    "within this window",
-                    flush=True,
-                )
-            row = get_loggable_values(tm, loggers["train_header"], step)
-            loggers["csv_train"].log(row)
-            loggers["wandb"].log(
-                dict(zip(loggers["train_header"], row)), step=step
+            print_window(
+                step, wv["sums"], n, bool(wv["ok"]),
+                time.perf_counter() - t_window, data_time_sum, bs,
+                batch, w, ts,
             )
-            print(
-                f"[{step}/{cfg.train.total_steps}] "
-                + " ".join(
-                    f"{k}={tm[k].average:.4f}"
-                    for k in loggers["train_header"][1:]
-                ),
-                flush=True,
-            )
-            reset_meters(tm)
             acc = zero_acc()
             data_time_sum = 0.0
             t_window = time.perf_counter()
 
         if step % cfg.train.evaluate_every == 0 or step == cfg.train.total_steps:
-            mses, nfes, count = 0.0, 0.0, 0
-            eval_loader = make_dataloader(
-                test_arrays, cfg.dataset.eval_batchsize, drop_last=True
-            )
-            for xe, me, dte in eval_loader:
-                mse, nfe = eval_forward(
-                    ts.params, ts.state, jnp.asarray(xe), jnp.asarray(me),
-                    jnp.asarray(dte),
-                )
-                mses += float(mse) * xe.shape[0]
-                nfes += float(nfe) * xe.shape[0]
-                count += xe.shape[0]
-            eval_mse = mses / count
-            print(
-                f"[eval @ {step}] masked_mse={eval_mse:.5f} "
-                f"nfe={nfes / count:.1f}",
-                flush=True,
-            )
-            loggers["wandb"].log({"eval_masked_mse": eval_mse}, step=step)
-
-            is_best = eval_mse <= best_test_loss
-            best_test_loss = min(best_test_loss, eval_mse)
-            save_checkpoint(
-                {"tstate": jax.device_get(ts), "step": step},
-                fdir=ckpt_dir, fname=f"model_step_{step}.ckpt",
-                is_best=is_best,
+            best_test_loss = _latent_eval_ckpt(
+                cfg, eval_forward, ts, test_arrays, step, best_test_loss,
+                loggers, ckpt_dir,
             )
 
     return {
@@ -252,3 +332,37 @@ def run_latent_ode_experiment(
         "ckpt_dir": ckpt_dir,
         "log_dir": log_dir,
     }
+
+
+def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
+                      best_test_loss, loggers, ckpt_dir):
+    """Masked-MSE evaluation over the test split + best/current
+    checkpointing; returns the updated best loss."""
+    mses, nfes, count = 0.0, 0.0, 0
+    eval_loader = make_dataloader(
+        test_arrays, cfg.dataset.eval_batchsize, drop_last=True
+    )
+    for xe, me, dte in eval_loader:
+        mse, nfe = eval_forward(
+            ts.params, ts.state, jnp.asarray(xe), jnp.asarray(me),
+            jnp.asarray(dte),
+        )
+        mses += float(mse) * xe.shape[0]
+        nfes += float(nfe) * xe.shape[0]
+        count += xe.shape[0]
+    eval_mse = mses / count
+    print(
+        f"[eval @ {step}] masked_mse={eval_mse:.5f} "
+        f"nfe={nfes / count:.1f}",
+        flush=True,
+    )
+    loggers["wandb"].log({"eval_masked_mse": eval_mse}, step=step)
+
+    is_best = eval_mse <= best_test_loss
+    best_test_loss = min(best_test_loss, eval_mse)
+    save_checkpoint(
+        {"tstate": jax.device_get(ts), "step": step},
+        fdir=ckpt_dir, fname=f"model_step_{step}.ckpt",
+        is_best=is_best,
+    )
+    return best_test_loss

@@ -137,6 +137,36 @@ def test_runner_block_mode_matches_single(tmp_path):
     )
 
 
+def test_latent_runner_block_mode(tmp_path):
+    from localregneuralde_tpu.harness.latent_runner import (
+        run_latent_ode_experiment,
+    )
+
+    outs = {}
+    for spc in (1, 2):
+        cfg = _tiny_cfg()
+        cfg.model.model_type = "time_series"
+        cfg.model.ts_in_dims = 5
+        cfg.model.ts_hidden_dims = 8
+        cfg.model.ts_latent_dims = 6
+        cfg.model.ts_node_dims = 4
+        cfg.dataset.eval_batchsize = 16
+        cfg.train.total_steps = 4
+        cfg.train.print_frequency = 2
+        cfg.train.evaluate_every = 4
+        cfg.train.steps_per_call = spc
+        cfg.train.checkpoint_dir = str(tmp_path / f"ckpt{spc}")
+        cfg.train.log_dir = str(tmp_path / f"logs{spc}")
+        outs[spc] = run_latent_ode_experiment(cfg, f"ts_spc{spc}")
+        assert np.isfinite(outs[spc]["best_eval_mse"])
+    # same seed → same batches AND same Reparameterize rng chain (state
+    # is carried through the scan) → matching eval MSE
+    np.testing.assert_allclose(
+        outs[1]["best_eval_mse"], outs[2]["best_eval_mse"],
+        rtol=1e-4, atol=1e-6,
+    )
+
+
 def test_steps_per_call_validation(tmp_path):
     from localregneuralde_tpu.harness.runner import (
         run_classification_experiment,
