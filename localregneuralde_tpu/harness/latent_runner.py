@@ -118,7 +118,7 @@ def run_latent_ode_experiment(
     # settled=True: this runner already ran settle_state_shapes above.
     from .runner import _wire_data_parallel
 
-    train_step, ts, place_batch = _wire_data_parallel(
+    train_step, ts, place_batch, make_block = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
         (float(w_reg_sched(1)), float(w_kl_sched(1))), settled=True,
     )
@@ -200,10 +200,10 @@ def run_latent_ode_experiment(
     # same semantics/validation as the classification runner)
     spc = max(1, int(cfg.train.steps_per_call))
     if spc > 1:
-        if cfg.train.data_parallel != "none":
+        if cfg.train.data_parallel == "shardmap":
             raise ValueError(
-                "train.steps_per_call > 1 is single-device only "
-                "(data_parallel='none')"
+                "train.steps_per_call > 1 supports data_parallel="
+                "'none' or 'gspmd' (not 'shardmap')"
             )
         if (cfg.train.print_frequency % spc
                 or cfg.train.evaluate_every % spc):
@@ -214,8 +214,6 @@ def run_latent_ode_experiment(
             )
 
     if spc > 1:
-        from .train import make_multi_train_step
-
         def latent_reduce(loss, stats, data):
             ok = stats.get("solver_success", jnp.asarray(True))
             return {
@@ -227,9 +225,7 @@ def run_latent_ode_experiment(
                 "n_fail": 1.0 - ok.astype(jnp.float32),
             }
 
-        multi_step = make_multi_train_step(
-            model, loss_fn, optimizer, reduce_fn=latent_reduce
-        )
+        multi_step, place_block = make_block(latent_reduce)
 
         pending = []
         window_n = 0
@@ -250,7 +246,7 @@ def run_latent_ode_experiment(
                 np.asarray([w_kl_sched(s) for s in srange], np.float32),
             )
             lrs = np.asarray([lr_sched(s) for s in srange], np.float32)
-            batch_stack = place_batch(stacked)
+            batch_stack = place_block(stacked)
             ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
             pending.append(red)
             window_n += bk

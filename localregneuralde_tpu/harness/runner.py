@@ -35,11 +35,16 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
                         warmup_batch, w_reg0, *, settled=False):
     """Swap the single-device train step for a multi-chip one per
     ``cfg.train.data_parallel`` ('none' | 'gspmd' | 'shardmap') and place
-    the train state on the mesh. Returns ``(train_step, ts, place_batch)``
-    where ``place_batch`` devices a host batch — sharded over the mesh's
-    data axis, or plain device arrays when single-device. Runs AFTER
-    checkpoint resume so restored host arrays get (re)sharded. Pass
-    ``settled=True`` if ``settle_state_shapes`` already ran on ``ts``."""
+    the train state on the mesh. Returns
+    ``(train_step, ts, place_batch, make_block)`` where ``place_batch``
+    devices a host batch — sharded over the mesh's data axis, or plain
+    device arrays when single-device — and ``make_block(reduce_fn)``
+    builds the K-steps-per-dispatch program for ``train.steps_per_call``:
+    ``(multi_step, place_block)`` with ``place_block`` devicing a
+    K-stacked batch (batch axis sharded under gspmd). ``make_block`` is
+    ``None`` for 'shardmap' (unsupported). Runs AFTER checkpoint resume
+    so restored host arrays get (re)sharded. Pass ``settled=True`` if
+    ``settle_state_shapes`` already ran on ``ts``."""
     dp_mode = cfg.train.data_parallel
     if dp_mode not in ("none", "gspmd", "shardmap"):
         raise ValueError(
@@ -54,9 +59,20 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             raise ValueError(
                 "train.tensor_parallel > 1 requires data_parallel='gspmd'"
             )
+
+        def make_block(reduce_fn):
+            from .train import make_multi_train_step
+
+            return (
+                make_multi_train_step(
+                    model, loss_fn, optimizer, reduce_fn=reduce_fn
+                ),
+                lambda b: jax.tree_util.tree_map(jnp.asarray, b),
+            )
+
         return train_step, ts, (
             lambda b: jax.tree_util.tree_map(jnp.asarray, b)
-        )
+        ), make_block
 
     from ..parallel import (
         make_mesh,
@@ -103,6 +119,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
     if not settled:
         ts = settle_state_shapes(model, loss_fn, ts, warmup_batch, w_reg0)
 
+    make_block = None
     if dp_mode == "gspmd":
         from ..parallel import train_state_shardings
 
@@ -117,6 +134,20 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
         step = make_sharded_train_step(
             model, loss_fn, optimizer, mesh, rules=rules, ts_shardings=ts_sh
         )
+
+        def make_block(reduce_fn):
+            from ..parallel import (
+                make_sharded_multi_train_step,
+                shard_batch_stack,
+            )
+
+            return (
+                make_sharded_multi_train_step(
+                    model, loss_fn, optimizer, mesh, rules=rules,
+                    ts_shardings=ts_sh, reduce_fn=reduce_fn,
+                ),
+                lambda b: shard_batch_stack(b, mesh),
+            )
     else:
         mesh = make_mesh({"data": n_data})
         ts = shard_train_state(ts, mesh)
@@ -127,7 +158,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
         f"{n_dev} devices",
         flush=True,
     )
-    return step, ts, lambda b: shard_batch(b, mesh)
+    return step, ts, (lambda b: shard_batch(b, mesh)), make_block
 
 
 def run_classification_experiment(
@@ -194,7 +225,7 @@ def run_classification_experiment(
     # tensor parallelism over the dynamics layers); 'shardmap' runs one
     # COMPLETE per-shard solve per chip (persistent kernels engaged, one
     # pmean/step; documented estimator deviation).
-    train_step, ts, place_batch = _wire_data_parallel(
+    train_step, ts, place_batch, make_block = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts,
         (xw, yw), float(w_reg_sched(1)),
     )
@@ -205,10 +236,10 @@ def run_classification_experiment(
     # bad config fails before any compilation.
     spc = max(1, int(cfg.train.steps_per_call))
     if spc > 1:
-        if cfg.train.data_parallel != "none":
+        if cfg.train.data_parallel == "shardmap":
             raise ValueError(
-                "train.steps_per_call > 1 is single-device only "
-                "(data_parallel='none')"
+                "train.steps_per_call > 1 supports data_parallel="
+                "'none' or 'gspmd' (not 'shardmap')"
             )
         if (cfg.train.print_frequency % spc
                 or cfg.train.evaluate_every % spc):
@@ -348,7 +379,7 @@ def run_classification_experiment(
 
     if spc > 1:
         return _run_block_loop(
-            cfg, model, loss_fn, optimizer, spc, ts, data_iter, place_batch,
+            cfg, make_block, spc, ts, data_iter,
             (xw, yw), w_reg_sched, lr_sched, initial_step, total_steps,
             stat_keys, print_window, eval_and_checkpoint,
             lambda: best_eval_acc, is_real, ckpt_dir, log_dir,
@@ -396,8 +427,8 @@ def run_classification_experiment(
     }
 
 
-def _run_block_loop(cfg, model, loss_fn, optimizer, spc, ts, data_iter,
-                    place_batch, warmup_batch, w_reg_sched, lr_sched,
+def _run_block_loop(cfg, make_block, spc, ts, data_iter,
+                    warmup_batch, w_reg_sched, lr_sched,
                     initial_step, total_steps, stat_keys, print_window,
                     eval_and_checkpoint, get_best, is_real, ckpt_dir,
                     log_dir):
@@ -430,9 +461,7 @@ def _run_block_loop(cfg, model, loss_fn, optimizer, spc, ts, data_iter,
         vals["n_fail"] = 1.0 - ok.astype(jnp.float32)
         return vals
 
-    multi_step = make_multi_train_step(
-        model, loss_fn, optimizer, reduce_fn=window_reduce
-    )
+    multi_step, place_block = make_block(window_reduce)
 
     def stack_host(batches):
         return tuple(
@@ -441,7 +470,7 @@ def _run_block_loop(cfg, model, loss_fn, optimizer, spc, ts, data_iter,
 
     # warmup: compile the K-step program on K copies of the warmup batch
     xw, yw = warmup_batch
-    wstack = place_batch((
+    wstack = place_block((
         np.broadcast_to(np.asarray(xw), (spc,) + xw.shape).copy(),
         np.broadcast_to(np.asarray(yw), (spc,) + yw.shape).copy(),
     ))
@@ -472,7 +501,7 @@ def _run_block_loop(cfg, model, loss_fn, optimizer, spc, ts, data_iter,
         steps = range(step + 1, step + bk + 1)
         w_regs = np.asarray([w_reg_sched(s) for s in steps], np.float32)
         lrs = np.asarray([lr_sched(s) for s in steps], np.float32)
-        batch_stack = place_batch((xstack, ystack))
+        batch_stack = place_block((xstack, ystack))
         ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
         pending.append(red)
         window_n += bk

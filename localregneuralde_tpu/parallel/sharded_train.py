@@ -133,6 +133,78 @@ def make_sharded_train_step(
     )
 
 
+def make_sharded_multi_train_step(
+    model, loss_fn, optimizer, mesh: Mesh,
+    *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
+    ts_shardings=None, reduce_fn: Optional[Callable] = None,
+) -> Callable:
+    """Sharded K-steps-per-dispatch train call: ``lax.scan`` over the
+    sharded single-step body (``harness.train.make_multi_train_step``
+    semantics, executed SPMD over the mesh).
+
+    ``multi_step(ts, data_stack, w_regs, lrs) -> (ts', last_loss, red)``
+    where every ``data_stack`` leaf is (K, B, ...) with the BATCH axis
+    (axis 1) sharded over ``data_axis`` and the scan axis replicated —
+    each scanned step consumes one full DP-sharded batch, so the shared
+    global adaptive grid semantics are identical to K sequential sharded
+    steps. TrainState layouts should be pinned via ``ts_shardings``
+    (layout-drift rationale in ``make_sharded_train_step``)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    if reduce_fn is None:
+        def reduce_fn(loss, stats, data):  # noqa: F811 — default reducer
+            return {"loss": loss}
+
+    repl = NamedSharding(mesh, P())
+    stack_sh = NamedSharding(mesh, P(None, data_axis))
+
+    def multi_step(ts: TrainState, data_stack, w_regs, lrs):
+        def body(ts, xs):
+            data, w_reg, lr = xs
+
+            def objective(params):
+                loss, st_, stats = loss_fn(
+                    model, params, ts.state, data, w_reg, training=True
+                )
+                return loss, (st_, stats)
+
+            (loss, (st_, stats)), grads = jax.value_and_grad(
+                objective, has_aux=True
+            )(ts.params)
+            opt_state = ts.opt_state
+            opt_state.hyperparams["learning_rate"] = lr
+            updates, opt_state = optimizer.update(
+                grads, opt_state, ts.params
+            )
+            params = optax.apply_updates(ts.params, updates)
+            ts = TrainState(
+                params=params, state=st_, opt_state=opt_state,
+                step=ts.step + 1,
+            )
+            return ts, (loss, reduce_fn(loss, stats, data))
+
+        ts, (losses, reds) = lax.scan(body, ts, (data_stack, w_regs, lrs))
+        red = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), reds)
+        return ts, losses[-1], red
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(ts_shardings, stack_sh, repl, repl),
+        out_shardings=(ts_shardings, None, None),
+        donate_argnums=(0,),
+    )
+
+
+def shard_batch_stack(batch_stack, mesh: Mesh, data_axis: str = "data"):
+    """Place a K-stacked batch pytree with the batch axis (axis 1) sharded
+    over the data mesh axis and the scan axis replicated."""
+    sh = NamedSharding(mesh, P(None, data_axis))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), batch_stack
+    )
+
+
 def train_state_shardings(ts: TrainState, mesh: Mesh,
                           rules: Optional[Dict[str, P]] = None) -> TrainState:
     """NamedSharding pytree for a TrainState: params per rules, optimizer

@@ -186,8 +186,41 @@ def test_steps_per_call_validation(tmp_path):
     cfg2.train.steps_per_call = 2
     cfg2.train.print_frequency = 2
     cfg2.train.evaluate_every = 2
-    cfg2.train.data_parallel = "gspmd"
+    cfg2.train.data_parallel = "shardmap"
     cfg2.train.checkpoint_dir = str(tmp_path / "ckpt2")
     cfg2.train.log_dir = str(tmp_path / "logs2")
-    with pytest.raises(ValueError, match="single-device"):
+    with pytest.raises(ValueError, match="not 'shardmap'"):
         run_classification_experiment(cfg2, "bad_spc_dp")
+
+
+def test_runner_block_mode_gspmd(tmp_path):
+    """steps_per_call composes with GSPMD data parallelism: the scanned
+    sharded program reproduces the single-step gspmd trajectory (shared
+    global adaptive grid preserved under the scan)."""
+    from localregneuralde_tpu.harness.checkpoint import load_checkpoint
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    outs = {}
+    for spc in (1, 2):
+        cfg = _tiny_cfg()
+        cfg.train.total_steps = 4
+        cfg.train.print_frequency = 2
+        cfg.train.evaluate_every = 4
+        cfg.train.steps_per_call = spc
+        cfg.train.data_parallel = "gspmd"
+        cfg.train.checkpoint_dir = str(tmp_path / f"ckpt{spc}")
+        cfg.train.log_dir = str(tmp_path / f"logs{spc}")
+        outs[spc] = run_classification_experiment(cfg, f"gspmd_spc{spc}")
+        ck = os.path.join(outs[spc]["ckpt_dir"], "model_current.ckpt")
+        outs[f"params{spc}"] = load_checkpoint(ck)["tstate"].params
+
+    fa = jax.tree_util.tree_leaves(outs["params1"])
+    fb = jax.tree_util.tree_leaves(outs["params2"])
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        outs[1]["best_eval_acc"], outs[2]["best_eval_acc"], atol=1e-3
+    )
