@@ -101,6 +101,12 @@ class NeuralODE(Module):
         from ..nn.basic import resolve_solver_precision
 
         self.mm_precision = resolve_solver_precision(precision, self.rtol)
+        if use_pallas and self.mm_precision == "high":
+            # Mosaic has no dot_general lowering for Precision.HIGH (3-pass
+            # bf16) — only DEFAULT and HIGHEST. The generic XLA path
+            # supports 'high' everywhere, so decline the Pallas families.
+            use_pallas = False
+            self.use_pallas = False
         # optional low-precision DYNAMICS compute (bandwidth lever for the
         # conv family): u and params are cast to this dtype inside the
         # dynamics only; du is upcast back, so all solver math (error

@@ -98,6 +98,10 @@ class NeuralDSDE(Module):
         from ..nn.basic import resolve_solver_precision
 
         self.mm_precision = resolve_solver_precision(precision, self.rtol)
+        if self.mm_precision == "high":
+            # Mosaic has no dot_general lowering for Precision.HIGH —
+            # decline the persistent Pallas SDE kernel (XLA supports it).
+            self.use_pallas = False
 
     def _is_fused_family(self):
         """Structural check for the kernel's architecture: drift =

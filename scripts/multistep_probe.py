@@ -16,6 +16,14 @@ per-arm NFE is reported so params-divergence confounds are visible.
 Usage: python scripts/multistep_probe.py [blocks=6] [steps_per_block=32]
            [K=8] [out.json]
 Env:   LRN_CPU=1 forces the CPU backend.
+       LRN_DEVICE_POOL=1 cycles a pregenerated DEVICE-RESIDENT batch pool
+       instead of shipping fresh host batches — isolates dispatch
+       amortization from host->device transfer (through the axon tunnel a
+       fresh 512x784 f32 batch is ~1.6 MB/step and dominates BOTH arms;
+       measured 2026-08-19: host-batch mode 102 vs 94 ms/step = 1.09x).
+       Params evolve every step, so relay memoization cannot fire even
+       with repeated batch values (CLAUDE.md freshness doctrine: the memo
+       key is (executable, inputs) and the TrainState input never repeats).
 """
 import json
 import os
@@ -83,13 +91,44 @@ def main():
     y_oh = one_hot(y_train, 10)
     rng = np.random.RandomState(7)
 
-    def batch(i):
-        idx = rng.randint(0, len(x_train), 512)
-        return jnp.asarray(x_train[idx]), jnp.asarray(y_oh[idx])
+    if os.environ.get("LRN_DEVICE_POOL"):
+        n_pool = 16
+        pool = []
+        for _ in range(n_pool):
+            idx = rng.randint(0, len(x_train), 512)
+            pool.append(
+                (jnp.asarray(x_train[idx]), jnp.asarray(y_oh[idx]))
+            )
+        jax.block_until_ready(pool)
 
-    def batch_stack(i):
-        bs = [batch(i + j) for j in range(K)]
-        return (jnp.stack([b[0] for b in bs]), jnp.stack([b[1] for b in bs]))
+        def batch(i):
+            return pool[i % n_pool]
+
+        stacked = []
+        for s in range(n_pool):
+            bs = [pool[(s + j) % n_pool] for j in range(K)]
+            stacked.append(
+                (
+                    jnp.stack([b[0] for b in bs]),
+                    jnp.stack([b[1] for b in bs]),
+                )
+            )
+        jax.block_until_ready(stacked)
+
+        def batch_stack(i):
+            return stacked[(i // K) % n_pool]
+    else:
+
+        def batch(i):
+            idx = rng.randint(0, len(x_train), 512)
+            return jnp.asarray(x_train[idx]), jnp.asarray(y_oh[idx])
+
+        def batch_stack(i):
+            bs = [batch(i + j) for j in range(K)]
+            return (
+                jnp.stack([b[0] for b in bs]),
+                jnp.stack([b[1] for b in bs]),
+            )
 
     ts0 = create_train_state(model, optimizer, jax.random.PRNGKey(0))
     clone = lambda t: jax.tree_util.tree_map(  # noqa: E731

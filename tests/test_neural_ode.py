@@ -152,3 +152,37 @@ def test_unknown_adjoint_raises():
             lambda u, t, p: -u, jnp.ones(2), (0.0, 1.0),
             adjoint="bogus", max_steps=8,
         )
+
+
+def test_precision_high_declines_pallas():
+    """Mosaic has no dot_general lowering for Precision.HIGH (3-pass bf16):
+    use_pallas must decline to the XLA path instead of crashing at lowering
+    (observed on TPU: NotImplementedError 'Unsupported dot precision: HIGH'
+    inside pallas_call)."""
+    dyn = TDChain(Dense(3, 4, "tanh"), Dense(5, 2))
+    node = NeuralODE(
+        dyn, regularize="unbiased", max_steps=32, use_pallas=True,
+        precision="high",
+    )
+    assert node.use_pallas is False
+    assert node.mm_precision == "high"
+    ps, st = node.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    sol, st = node.apply(ps, st, x)
+    assert diffeqsol_to_array(sol).shape == (8, 2)
+    # 'highest' stays eligible for the fused kernels
+    node_hi = NeuralODE(dyn, max_steps=32, use_pallas=True,
+                        precision="highest")
+    assert node_hi.use_pallas is True
+
+
+def test_precision_high_declines_persistent_sde():
+    from localregneuralde_tpu.models import NeuralDSDE
+
+    drift = Chain(Dense(2, 4, "tanh"), Dense(4, 2))
+    diffusion = Dense(2, 2)
+    sde = NeuralDSDE(
+        drift, diffusion, max_steps=32, use_pallas=True,
+        use_persistent=True, precision="high",
+    )
+    assert sde.use_pallas is False
