@@ -50,6 +50,14 @@ def resolve_solver_precision(precision, rtol: float):
     'auto': 'highest' iff rtol < 1e-4 (the measured safety line — round-1
     studies at rtol 1e-4 under DEFAULT produced sane NFE), else None
     (backend default).
+
+    Why not 'high' (3-pass bf16) at tight tolerances: measured at the
+    paper tolerance (rtol 1.4e-8, TPU, precision_ladder.json) it clears
+    the noise floor — the solve succeeds without saturating the cap —
+    but pays 3.9x NFE inflation (1946 vs 494 frozen-params evals), which
+    exceeds its per-eval savings: net train-step time 0.57x vs 'highest'.
+    Note Mosaic has no dot lowering for HIGH, so 'high' also declines the
+    Pallas families (models gate on this).
     """
     if precision == "auto":
         return "highest" if rtol < 1e-4 else None
