@@ -11,8 +11,6 @@ standard Tsit5 b_i(θ) polynomials used for dense output / ``saveat``.
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 
 class Tsit5Tableau:
     """Tsitouras 5(4) coefficients.
