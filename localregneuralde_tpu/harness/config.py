@@ -129,6 +129,12 @@ class TrainConfig:
     # evaluate_every; single-device only. TPU-first addition — no
     # reference counterpart.
     steps_per_call: int = 1
+    # N > 1 splits each batch into N sequential microbatches, accumulating
+    # gradients in a lax.scan carry before ONE optimizer update (large
+    # effective batches on one chip, O(1) memory in N). Must divide
+    # dataset.train_batchsize; data_parallel='none' only. Composes with
+    # steps_per_call. TPU-first addition — no reference counterpart.
+    grad_accumulation: int = 1
 
 
 @dataclass

@@ -88,7 +88,19 @@ def run_latent_ode_experiment(
         model, loss_fn, ts, settle_batch,
         (float(w_reg_sched(1)), float(w_kl_sched(1))),
     )
-    train_step = make_train_step(model, loss_fn, optimizer)
+    ga = max(1, int(cfg.train.grad_accumulation))
+    if ga > 1:
+        if cfg.train.data_parallel != "none":
+            raise ValueError(
+                "train.grad_accumulation > 1 requires data_parallel='none'"
+            )
+        if cfg.dataset.train_batchsize % ga:
+            raise ValueError(
+                f"train.grad_accumulation={ga} must divide "
+                f"dataset.train_batchsize ({cfg.dataset.train_batchsize})"
+            )
+    train_step = make_train_step(model, loss_fn, optimizer,
+                                 grad_accumulation=ga)
 
     @jax.jit
     def eval_forward(params, state, data, mask, dt):

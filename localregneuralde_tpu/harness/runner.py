@@ -65,7 +65,10 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
 
             return (
                 make_multi_train_step(
-                    model, loss_fn, optimizer, reduce_fn=reduce_fn
+                    model, loss_fn, optimizer, reduce_fn=reduce_fn,
+                    grad_accumulation=max(
+                        1, int(cfg.train.grad_accumulation)
+                    ),
                 ),
                 lambda b: jax.tree_util.tree_map(jnp.asarray, b),
             )
@@ -180,7 +183,24 @@ def run_classification_experiment(
     key = jax.random.PRNGKey(cfg.seed)
     ts = create_train_state(model, optimizer, key)
 
-    train_step = make_train_step(model, loss_fn, optimizer)
+    # train.grad_accumulation=N: N sequential microbatches per optimizer
+    # update inside the fused step (validated before any compilation).
+    ga = max(1, int(cfg.train.grad_accumulation))
+    if ga > 1:
+        if cfg.train.data_parallel != "none":
+            raise ValueError(
+                "train.grad_accumulation > 1 requires "
+                "data_parallel='none' (shard the batch instead of "
+                "microbatching when a mesh is available)"
+            )
+        if cfg.dataset.train_batchsize % ga:
+            raise ValueError(
+                f"train.grad_accumulation={ga} must divide "
+                f"dataset.train_batchsize ({cfg.dataset.train_batchsize})"
+            )
+
+    train_step = make_train_step(model, loss_fn, optimizer,
+                                 grad_accumulation=ga)
     eval_step = make_eval_step(model, loss_fn)
 
     # --- data

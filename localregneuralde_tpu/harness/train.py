@@ -63,20 +63,85 @@ def settle_state_shapes(model, loss_fn, ts: TrainState, data,
     return struct_replace(ts, state=settled)
 
 
-def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
-                     w_reg, lr):
-    """One forward+backward+optimizer update — the shared body of the
-    single-step and multi-step train calls."""
+def _merge_micro_stats(stacked):
+    """Collapse the leading microbatch axis of scanned per-micro stats so
+    consumers (window accumulators, loggers) see one step's worth:
+    per-sample arrays (y_pred, …) concatenate back into the full batch;
+    integer scalars (NFE counters) sum; boolean scalars (solver_success)
+    AND; float scalars (losses, reg values) average."""
 
-    def objective(params):
+    def merge(s):
+        if s.ndim >= 2:
+            return s.reshape((-1,) + s.shape[2:])
+        if jnp.issubdtype(s.dtype, jnp.bool_):
+            return jnp.all(s)
+        if jnp.issubdtype(s.dtype, jnp.integer):
+            return jnp.sum(s)
+        return jnp.mean(s)
+
+    return jax.tree_util.tree_map(merge, stacked)
+
+
+def _microbatched_value_and_grad(model, loss_fn, n_micro, params, state,
+                                 data, w_reg):
+    """Gradient accumulation over ``n_micro`` sequential microbatches.
+
+    Splits every data leaf ``(B, …) -> (n_micro, B/n_micro, …)`` and scans
+    the microbatches, accumulating the gradient in the carry (O(1) memory
+    in ``n_micro`` — remat-free large effective batches on one chip).
+    Layer state (PRNG chains, BatchNorm stats, NFE counters) threads
+    sequentially exactly as n_micro smaller steps would. NOTE the adaptive
+    grid is shared per MICROBATCH (each microbatch solve picks its own dt
+    sequence) — the accumulated step equals the mean of n_micro
+    independent small-batch losses, not one big-batch solve."""
+    micro = jax.tree_util.tree_map(
+        lambda a: a.reshape((n_micro, a.shape[0] // n_micro) + a.shape[1:]),
+        data,
+    )
+
+    def objective(params, state, mdata):
         loss, st_, stats = loss_fn(
-            model, params, ts.state, data, w_reg, training=True
+            model, params, state, mdata, w_reg, training=True
         )
         return loss, (st_, stats)
 
-    (loss, (st_, stats)), grads = jax.value_and_grad(
-        objective, has_aux=True
-    )(ts.params)
+    vg = jax.value_and_grad(objective, has_aux=True)
+
+    def body(carry, mdata):
+        state, gsum = carry
+        (loss, (st_, stats)), g = vg(params, state, mdata)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+        return (st_, gsum), (loss, stats)
+
+    zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+    (st_, gsum), (losses, stats_stack) = lax.scan(
+        body, (state, zero_g), micro
+    )
+    inv = 1.0 / float(n_micro)
+    grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+    return jnp.mean(losses), st_, _merge_micro_stats(stats_stack), grads
+
+
+def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
+                     w_reg, lr, n_micro: int = 1):
+    """One forward+backward+optimizer update — the shared body of the
+    single-step and multi-step train calls. ``n_micro > 1`` accumulates
+    gradients over microbatches before the single optimizer update."""
+
+    if n_micro > 1:
+        loss, st_, stats, grads = _microbatched_value_and_grad(
+            model, loss_fn, n_micro, ts.params, ts.state, data, w_reg
+        )
+    else:
+        def objective(params):
+            loss, st_, stats = loss_fn(
+                model, params, ts.state, data, w_reg, training=True
+            )
+            return loss, (st_, stats)
+
+        (loss, (st_, stats)), grads = jax.value_and_grad(
+            objective, has_aux=True
+        )(ts.params)
     opt_state = ts.opt_state
     opt_state.hyperparams["learning_rate"] = lr
     updates, opt_state = optimizer.update(grads, opt_state, ts.params)
@@ -93,25 +158,31 @@ def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
     )
 
 
-def make_train_step(model, loss_fn, optimizer) -> Callable:
+def make_train_step(model, loss_fn, optimizer,
+                    grad_accumulation: int = 1) -> Callable:
     """Build the fused jitted train step.
 
     ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)``. The learning
     rate is injected via optax's hyperparam mechanism so Python-side
     schedulers (reference ``Optimisers.adjust``, ``main.jl:94-95``) work
-    without recompilation.
+    without recompilation. ``grad_accumulation=N`` splits the batch into N
+    sequential microbatches and applies ONE optimizer update on the mean
+    gradient (``train.grad_accumulation`` — TPU-first addition for
+    large effective batches on one chip; no reference counterpart).
     """
+    n_micro = int(grad_accumulation)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, data, w_reg, lr):
         return _fused_step_body(model, loss_fn, optimizer, ts, data,
-                                w_reg, lr)
+                                w_reg, lr, n_micro=n_micro)
 
     return train_step
 
 
 def make_multi_train_step(model, loss_fn, optimizer,
-                          reduce_fn: Callable = None) -> Callable:
+                          reduce_fn: Callable = None,
+                          grad_accumulation: int = 1) -> Callable:
     """Fused K-step train call: a donated jit around ``lax.scan`` over the
     single-step body — K optimizer steps per host dispatch.
 
@@ -133,12 +204,15 @@ def make_multi_train_step(model, loss_fn, optimizer,
         def reduce_fn(loss, stats, data):  # noqa: F811 — default reducer
             return {"loss": loss}
 
+    n_micro = int(grad_accumulation)
+
     @partial(jax.jit, donate_argnums=(0,))
     def multi_step(ts: TrainState, data_stack, w_regs, lrs):
         def body(ts, xs):
             data, w_reg, lr = xs
             ts, loss, stats = _fused_step_body(
-                model, loss_fn, optimizer, ts, data, w_reg, lr
+                model, loss_fn, optimizer, ts, data, w_reg, lr,
+                n_micro=n_micro,
             )
             return ts, (loss, reduce_fn(loss, stats, data))
 
