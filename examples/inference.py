@@ -122,6 +122,28 @@ def main():
         f"top-1={acc1:.1f}%"
     )
 
+    # --- 2b. AOT export: a standalone StableHLO serving artifact ---------
+    # (utils/export.py) — the serving process needs only `jax`, not the
+    # framework; weights are baked into the program.
+    from localregneuralde_tpu.utils.export import (
+        export_model,
+        load_exported,
+        save_exported,
+    )
+
+    art = str(Path(ckpt_dir) / "model.stablehlo")
+    save_exported(
+        export_model(model, ts2.params, ts2.state, xe), art
+    )
+    serve = load_exported(art)
+    y_art = serve(xe)
+    y_live, _ = model(ts2.params, ts2.state, xe, training=False)
+    assert jnp.allclose(y_art, y_live, rtol=1e-5, atol=1e-5)
+    print(
+        f"exported artifact: {Path(art).stat().st_size / 1e6:.2f} MB, "
+        "serve parity OK"
+    )
+
     # --- 3. multi-device fan-out (when devices are available) ------------
     n_dev = len(jax.devices())
     if n_dev > 1:
