@@ -1,4 +1,5 @@
 from .export import (
+    export_fn,
     export_model,
     export_model_multi,
     load_exported,
@@ -9,6 +10,7 @@ from .profiling import PhaseTimer, trace
 __all__ = [
     "PhaseTimer",
     "trace",
+    "export_fn",
     "export_model",
     "export_model_multi",
     "load_exported",

@@ -96,6 +96,24 @@ def export_model(
     return jax_export.export(jax.jit(fn_open), **kwargs)(pspec, spec)
 
 
+def export_fn(
+    fn: Callable,
+    *example_args,
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Export an arbitrary jittable callable (e.g. a score-SDE sampler
+    closure, a custom eval head) at the shapes/dtypes of
+    ``example_args`` (arrays or ShapeDtypeStructs)."""
+    specs = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+        example_args,
+    )
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(jax.jit(fn), **kwargs)(*specs)
+
+
 def export_model_multi(
     model,
     params,

@@ -99,6 +99,37 @@ def test_export_multi_batch_ladder_dispatch(tmp_path):
         fn(jnp.zeros((16, 3, 4, 1)))
 
 
+def test_export_fn_score_sde_sampler(tmp_path):
+    """export_fn serves arbitrary jittables — here the probability-flow
+    score-SDE sampler closed over an analytic score."""
+    from jax import export as jax_export
+
+    from localregneuralde_tpu.models.score_sde import (
+        gaussian_score_fn,
+        sample_probability_flow,
+    )
+    from localregneuralde_tpu.utils.export import export_fn
+
+    score = gaussian_score_fn(mean=-1.0, var=1.0)
+
+    def draw(key):
+        s, sol = sample_probability_flow(
+            score, (64,), key, rtol=1e-3, atol=1e-3, max_steps=128
+        )
+        return s, sol.success
+
+    key = jax.random.PRNGKey(7)
+    exp = export_fn(draw, key)
+    blob = exp.serialize()
+    restored = jax_export.deserialize(blob)
+    s_direct, ok_direct = draw(key)
+    s_exp, ok_exp = restored.call(key)
+    assert bool(ok_exp) and bool(ok_direct)
+    np.testing.assert_allclose(
+        np.asarray(s_exp), np.asarray(s_direct), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_export_artifact_rejects_garbage(tmp_path):
     p = tmp_path / "bad.bin"
     p.write_bytes(b"not an export")
