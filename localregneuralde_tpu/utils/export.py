@@ -44,18 +44,36 @@ from jax import export as jax_export
 _MAGIC = b"LRNDE-EXPORT-V1\n"
 
 
-def _eval_forward(model, params, state, *, with_state: bool):
-    """Eval-mode forward closed over (or parameterized by) weights."""
+def _eval_forward(model, params, state, *, with_state: bool,
+                  freeze: bool, freeze_state: bool):
+    """Eval-mode forward with weights/state baked or threaded.
 
-    def fn_frozen(x):
-        y, st = model(params, state, x, training=False)
-        return (y, st) if with_state else y
+    Returns ``(fn, extra_example_args)`` where ``extra_example_args`` are
+    the non-``x`` leading arguments the exported callable takes."""
+    if freeze and freeze_state:
+        def fn(x):
+            y, st = model(params, state, x, training=False)
+            return (y, st) if with_state else y
 
-    def fn_open(p, x):
-        y, st = model(p, state, x, training=False)
-        return (y, st) if with_state else y
+        return fn, ()
+    if freeze and not freeze_state:
+        def fn(st_in, x):
+            y, st = model(params, st_in, x, training=False)
+            return y, st
 
-    return fn_frozen, fn_open
+        return fn, (state,)
+    if not freeze and freeze_state:
+        def fn(p, x):
+            y, st = model(p, state, x, training=False)
+            return (y, st) if with_state else y
+
+        return fn, (params,)
+
+    def fn(p, st_in, x):
+        y, st = model(p, st_in, x, training=False)
+        return y, st
+
+    return fn, (params, state)
 
 
 def export_model(
@@ -65,35 +83,43 @@ def export_model(
     example_input,
     *,
     freeze: bool = True,
+    freeze_state: bool = True,
     with_state: bool = False,
     platforms: Optional[Sequence[str]] = None,
 ) -> jax_export.Exported:
     """Trace the eval-mode forward and export it as StableHLO.
 
     ``example_input`` fixes shapes/dtypes (an array or a ShapeDtypeStruct).
-    ``freeze=True`` bakes params+state into the program as constants;
-    otherwise the exported callable is ``fn(params, x)``.
+    ``freeze=True`` bakes params into the program as constants; otherwise
+    the exported callable takes them as a leading argument.
+    ``freeze_state=True`` likewise bakes the layer state. **Stochastic
+    caveat**: ``NeuralDSDE``/``ReparameterizeLayer`` draw noise from the
+    PRNG key in the layer state — a fully frozen export replays the SAME
+    noise every call (deterministic serving; fine for ODE families whose
+    eval forward is deterministic anyway). For fresh-noise serving use
+    ``freeze_state=False``: the callable becomes ``fn(state, x) ->
+    (y, state')`` and the caller threads the returned state.
     ``with_state=True`` additionally returns the post-call layer state
-    (NFE counters, reg values — useful for serving-side solver telemetry).
+    (NFE counters, reg values — serving-side solver telemetry); implied
+    whenever ``freeze_state=False``.
     ``platforms`` defaults to the current backend.
     """
-    fn_frozen, fn_open = _eval_forward(
-        model, params, state, with_state=with_state
+    fn, extra = _eval_forward(
+        model, params, state, with_state=with_state, freeze=freeze,
+        freeze_state=freeze_state,
     )
-    spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
-        example_input,
-    )
+
+    def spec_of(tree):
+        return jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
+            tree,
+        )
+
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = tuple(platforms)
-    if freeze:
-        return jax_export.export(jax.jit(fn_frozen), **kwargs)(spec)
-    pspec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
-        params,
-    )
-    return jax_export.export(jax.jit(fn_open), **kwargs)(pspec, spec)
+    specs = tuple(spec_of(t) for t in extra) + (spec_of(example_input),)
+    return jax_export.export(jax.jit(fn), **kwargs)(*specs)
 
 
 def export_fn(

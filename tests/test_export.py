@@ -99,6 +99,42 @@ def test_export_multi_batch_ladder_dispatch(tmp_path):
         fn(jnp.zeros((16, 3, 4, 1)))
 
 
+def test_export_sde_frozen_vs_threaded_state(tmp_path):
+    """A fully frozen NeuralDSDE export bakes the PRNG state and replays
+    one Brownian path (deterministic serving — documented caveat);
+    freeze_state=False threads state so each call draws fresh noise."""
+    from localregneuralde_tpu.models.neural_sde import NeuralDSDE
+
+    model = Chain(
+        flatten=Flatten(),
+        neural_dsde=NeuralDSDE(
+            Chain(Dense(6, 8, "tanh"), Dense(8, 6)), Dense(6, 6),
+            regularize="none", rtol=1e-1, atol=1e-1, max_steps=64,
+        ),
+        sol_to_arr=WrappedFunction(diffeqsol_to_array),
+        classifier=Dense(6, 3),
+    )
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 2, 3, 1))
+
+    frozen = jax.jit(export_model(model, params, state, x).call)
+    assert np.allclose(np.asarray(frozen(x)), np.asarray(frozen(x)))
+
+    exp = export_model(model, params, state, x, freeze_state=False)
+    path = str(tmp_path / "sde.stablehlo")
+    save_exported(exp, path)
+    fn = load_exported(path)
+    y1, st1 = fn(state, x)
+    y2, st2 = fn(st1, x)
+    # threaded state advances the PRNG chain → distinct Brownian draws
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+    # and the first threaded call equals the live model exactly
+    y_live, _ = model(params, state, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(y_live), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_export_fn_score_sde_sampler(tmp_path):
     """export_fn serves arbitrary jittables — here the probability-flow
     score-SDE sampler closed over an analytic score."""
