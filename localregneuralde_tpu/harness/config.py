@@ -135,6 +135,12 @@ class TrainConfig:
     # dataset.train_batchsize; data_parallel='none' only. Composes with
     # steps_per_call. TPU-first addition — no reference counterpart.
     grad_accumulation: int = 1
+    # decay > 0 maintains an exponential moving average of params inside
+    # the fused step (ema' = ema·d + params·(1−d)); evaluation and
+    # best-checkpoint selection then use the EMA weights (standard for
+    # score-model/serving-quality training). data_parallel='none' only.
+    # TPU-first addition — no reference counterpart.
+    ema_decay: float = 0.0
 
 
 @dataclass

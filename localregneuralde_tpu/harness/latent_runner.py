@@ -99,8 +99,15 @@ def run_latent_ode_experiment(
                 f"train.grad_accumulation={ga} must divide "
                 f"dataset.train_batchsize ({cfg.dataset.train_batchsize})"
             )
+    ed = float(cfg.train.ema_decay)
+    if not 0.0 <= ed < 1.0:
+        raise ValueError(f"train.ema_decay must be in [0, 1), got {ed}")
+    if ed > 0.0 and cfg.train.data_parallel != "none":
+        raise ValueError(
+            "train.ema_decay > 0 requires data_parallel='none'"
+        )
     train_step = make_train_step(model, loss_fn, optimizer,
-                                 grad_accumulation=ga)
+                                 grad_accumulation=ga, ema_decay=ed)
 
     @jax.jit
     def eval_forward(params, state, data, mask, dt):
@@ -124,6 +131,11 @@ def run_latent_ode_experiment(
         if restored is not None:
             ts = jax.tree_util.tree_map(jnp.asarray, restored["tstate"])
             initial_step = int(restored["step"]) + 1
+
+    if ed > 0.0 and ts.ema is None:
+        from .train import init_ema
+
+        ts = init_ema(ts)
 
     # optional multi-chip training (same wiring as the classification
     # runner; after resume so restored host arrays get sharded).
@@ -350,9 +362,12 @@ def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
     eval_loader = make_dataloader(
         test_arrays, cfg.dataset.eval_batchsize, drop_last=True
     )
+    # with EMA enabled, evaluation + best selection see the averaged
+    # weights (train.ema_decay)
+    eval_params = ts.params if ts.ema is None else ts.ema
     for xe, me, dte in eval_loader:
         mse, nfe = eval_forward(
-            ts.params, ts.state, jnp.asarray(xe), jnp.asarray(me),
+            eval_params, ts.state, jnp.asarray(xe), jnp.asarray(me),
             jnp.asarray(dte),
         )
         mses += float(mse) * xe.shape[0]

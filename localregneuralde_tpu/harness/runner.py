@@ -26,8 +26,10 @@ from .losses import accuracy
 from .train import (
     TrainState,
     create_train_state,
+    init_ema,
     make_eval_step,
     make_train_step,
+    swap_ema_params,
 )
 
 
@@ -69,6 +71,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
                     grad_accumulation=max(
                         1, int(cfg.train.grad_accumulation)
                     ),
+                    ema_decay=float(cfg.train.ema_decay),
                 ),
                 lambda b: jax.tree_util.tree_map(jnp.asarray, b),
             )
@@ -199,8 +202,18 @@ def run_classification_experiment(
                 f"dataset.train_batchsize ({cfg.dataset.train_batchsize})"
             )
 
+    # train.ema_decay>0: params-EMA maintained inside the fused step;
+    # eval/best-checkpoint use the averaged weights.
+    ed = float(cfg.train.ema_decay)
+    if not 0.0 <= ed < 1.0:
+        raise ValueError(f"train.ema_decay must be in [0, 1), got {ed}")
+    if ed > 0.0 and cfg.train.data_parallel != "none":
+        raise ValueError(
+            "train.ema_decay > 0 requires data_parallel='none'"
+        )
+
     train_step = make_train_step(model, loss_fn, optimizer,
-                                 grad_accumulation=ga)
+                                 grad_accumulation=ga, ema_decay=ed)
     eval_step = make_eval_step(model, loss_fn)
 
     # --- data
@@ -228,10 +241,15 @@ def run_classification_experiment(
             initial_step = int(restored["step"]) + 1
             print(f"resumed from {resume_path} at step {initial_step}")
 
+    if ed > 0.0 and ts.ema is None:
+        # fresh start, or resume from a pre-EMA checkpoint: seed at params
+        ts = init_ema(ts)
+
     # eval-only mode (reference TrainConfig.evaluate)
     if cfg.train.evaluate:
         metrics = evaluate_classification(
-            cfg, eval_step, ts, eval_loader_spec, float(w_reg_sched(1))
+            cfg, eval_step, swap_ema_params(ts), eval_loader_spec,
+            float(w_reg_sched(1)),
         )
         print(f"[evaluate] {metrics}", flush=True)
         return {"eval": metrics, "real_data": bool(is_real)}
@@ -373,8 +391,10 @@ def run_classification_experiment(
 
     def eval_and_checkpoint(step, w_reg, ts):
         nonlocal best_eval_acc
+        # with EMA enabled, evaluation + best-checkpoint selection see the
+        # averaged weights (train.ema_decay; the raw params keep training)
         eval_metrics = evaluate_classification(
-            cfg, eval_step, ts, eval_loader_spec, w_reg
+            cfg, eval_step, swap_ema_params(ts), eval_loader_spec, w_reg
         )
         em = loggers["eval_meters"]
         for k, v in eval_metrics.items():

@@ -27,6 +27,11 @@ class TrainState:
     state: Any
     opt_state: Any
     step: jnp.ndarray
+    # exponential moving average of params (None = disabled). The None
+    # default is a CLASS attribute, so TrainStates unpickled from
+    # checkpoints written before this field existed still resolve
+    # ``.ema`` (to None) — old checkpoints stay loadable.
+    ema: Any = None
 
 
 def create_train_state(model, optimizer, key) -> TrainState:
@@ -123,10 +128,13 @@ def _microbatched_value_and_grad(model, loss_fn, n_micro, params, state,
 
 
 def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
-                     w_reg, lr, n_micro: int = 1):
+                     w_reg, lr, n_micro: int = 1,
+                     ema_decay: float = 0.0):
     """One forward+backward+optimizer update — the shared body of the
     single-step and multi-step train calls. ``n_micro > 1`` accumulates
-    gradients over microbatches before the single optimizer update."""
+    gradients over microbatches before the single optimizer update;
+    ``ema_decay > 0`` folds the params-EMA update into the same program
+    (``ts.ema`` must be seeded via ``init_ema`` first)."""
 
     if n_micro > 1:
         loss, st_, stats, grads = _microbatched_value_and_grad(
@@ -146,20 +154,46 @@ def _fused_step_body(model, loss_fn, optimizer, ts: TrainState, data,
     opt_state.hyperparams["learning_rate"] = lr
     updates, opt_state = optimizer.update(grads, opt_state, ts.params)
     params = optax.apply_updates(ts.params, updates)
+    if ema_decay > 0.0:
+        d = jnp.float32(ema_decay)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), ts.ema, params
+        )
+    else:
+        ema = ts.ema
     return (
         TrainState(
             params=params,
             state=st_,
             opt_state=opt_state,
             step=ts.step + 1,
+            ema=ema,
         ),
         loss,
         stats,
     )
 
 
+def init_ema(ts: TrainState) -> TrainState:
+    """Seed the params-EMA accumulator at the current params (call once
+    before the first EMA-enabled step; re-seeds cleanly after resuming a
+    pre-EMA checkpoint whose ``ema`` is None)."""
+    return struct_replace(
+        ts, ema=jax.tree_util.tree_map(jnp.array, ts.params)
+    )
+
+
+def swap_ema_params(ts: TrainState) -> TrainState:
+    """A view of the train state with the EMA weights in ``params`` —
+    evaluation/checkpoint-best/serving should see the averaged model."""
+    if ts.ema is None:
+        return ts
+    return struct_replace(ts, params=ts.ema)
+
+
 def make_train_step(model, loss_fn, optimizer,
-                    grad_accumulation: int = 1) -> Callable:
+                    grad_accumulation: int = 1,
+                    ema_decay: float = 0.0) -> Callable:
     """Build the fused jitted train step.
 
     ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)``. The learning
@@ -175,14 +209,16 @@ def make_train_step(model, loss_fn, optimizer,
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, data, w_reg, lr):
         return _fused_step_body(model, loss_fn, optimizer, ts, data,
-                                w_reg, lr, n_micro=n_micro)
+                                w_reg, lr, n_micro=n_micro,
+                                ema_decay=float(ema_decay))
 
     return train_step
 
 
 def make_multi_train_step(model, loss_fn, optimizer,
                           reduce_fn: Callable = None,
-                          grad_accumulation: int = 1) -> Callable:
+                          grad_accumulation: int = 1,
+                          ema_decay: float = 0.0) -> Callable:
     """Fused K-step train call: a donated jit around ``lax.scan`` over the
     single-step body — K optimizer steps per host dispatch.
 
@@ -212,7 +248,7 @@ def make_multi_train_step(model, loss_fn, optimizer,
             data, w_reg, lr = xs
             ts, loss, stats = _fused_step_body(
                 model, loss_fn, optimizer, ts, data, w_reg, lr,
-                n_micro=n_micro,
+                n_micro=n_micro, ema_decay=float(ema_decay),
             )
             return ts, (loss, reduce_fn(loss, stats, data))
 
