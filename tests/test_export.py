@@ -166,6 +166,25 @@ def test_export_fn_score_sde_sampler(tmp_path):
     )
 
 
+def test_export_multi_platform_artifact(tmp_path):
+    """platforms=('cpu','tpu') lowers one portable artifact (XLA-path
+    models only — Mosaic custom calls are TPU-specific by nature); it must
+    load and run on the current (cpu) backend."""
+    model, params, state = _tiny_model(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(5), (4, 3, 4, 1))
+    exp = export_model(
+        model, params, state, x, platforms=("cpu", "tpu")
+    )
+    path = str(tmp_path / "portable.stablehlo")
+    save_exported(exp, path)
+    fn = load_exported(path)
+    y = fn(x)
+    y_live, _ = model(params, state, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_live), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_export_artifact_rejects_garbage(tmp_path):
     p = tmp_path / "bad.bin"
     p.write_bytes(b"not an export")
