@@ -234,7 +234,13 @@ class MultiExported:
                     return self._jitted[bb](x, *args)
                 pad = [(0, bb - b)] + [(0, 0)] * (jnp.ndim(x) - 1)
                 y = self._jitted[bb](jnp.pad(x, pad), *args)
-                return jax.tree_util.tree_map(lambda a: a[:b], y)
+                # strip padding only from batch-leading outputs (scalar
+                # telemetry like NFE counters passes through untouched)
+                return jax.tree_util.tree_map(
+                    lambda a: a[:b]
+                    if jnp.ndim(a) and jnp.shape(a)[0] == bb else a,
+                    y,
+                )
         raise ValueError(
             f"batch {b} exceeds largest exported size "
             f"{max(self.by_batch)}"

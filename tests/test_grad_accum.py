@@ -133,6 +133,24 @@ def test_runner_grad_accum_composes_with_steps_per_call(tmp_path):
     assert out["final_step"] == 2
 
 
+def test_runner_grad_accum_sde(tmp_path):
+    """SDE stats carry a (drift, diffusion) NFE tuple — the microbatch
+    merge must sum each counter and thread the noise rng sequentially."""
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+
+    cfg = _tiny_cfg(grad_accumulation=2)
+    cfg.model.sde = True
+    cfg.model.regularize = "unbiased"
+    cfg.model.solver.abstol = 1e-1
+    cfg.model.solver.reltol = 1e-1
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_classification_experiment(cfg, "tiny_sde_ga")
+    assert out["final_step"] == 2
+
+
 def test_grad_accum_config_validation(tmp_path):
     from localregneuralde_tpu.harness.runner import (
         run_classification_experiment,
