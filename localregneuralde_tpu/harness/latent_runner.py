@@ -359,8 +359,14 @@ def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
     """Masked-MSE evaluation over the test split + best/current
     checkpointing; returns the updated best loss."""
     mses, nfes, count = 0.0, 0.0, 0
+    # clamp to the test-split size: with drop_last (stable jit shapes) an
+    # eval_batchsize larger than the split would otherwise yield ZERO
+    # batches (hit with the shipped physionet.yaml eval_batchsize=512 on
+    # the 409-sample synthetic test split)
+    n_test = int(test_arrays[0].shape[0])
     eval_loader = make_dataloader(
-        test_arrays, cfg.dataset.eval_batchsize, drop_last=True
+        test_arrays, min(int(cfg.dataset.eval_batchsize), n_test),
+        drop_last=True,
     )
     # with EMA enabled, evaluation + best selection see the averaged
     # weights (train.ema_decay)

@@ -197,6 +197,26 @@ def test_end_to_end_latent_ode(tmp_path, adjoint):
     assert np.isfinite(out["best_eval_mse"])
 
 
+def test_latent_eval_batch_larger_than_test_split(tmp_path):
+    """eval_batchsize > test split must clamp, not yield zero eval batches
+    (hit with the shipped physionet.yaml eval_batchsize=512 on the
+    409-sample synthetic test split — ZeroDivisionError pre-fix)."""
+    from localregneuralde_tpu.harness.latent_runner import (
+        run_latent_ode_experiment,
+    )
+
+    cfg = _tiny_cfg("time_series")
+    cfg.model.ts_in_dims = 5
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 6
+    cfg.model.ts_node_dims = 4
+    cfg.dataset.eval_batchsize = 4096  # >> the synthetic test split
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    out = run_latent_ode_experiment(cfg, "tiny_ts_bigeval")
+    assert np.isfinite(out["best_eval_mse"])
+
+
 def test_end_to_end_latent_ode_pallas(tmp_path):
     """The latent family rides the persistent chain kernels when
     use_pallas is on (interpret mode here; gating is family-matched)."""
