@@ -18,9 +18,14 @@ unbiased w_reg=100 (sensitivity cross-check).
 
 Usage: python scripts/sde_nfe_study.py [steps] [out.json] [difficulty]
            [seed] [arms]
-       ``arms`` is a comma list of ``none`` and/or w_reg values
-       (default ``none,1000,100``) — e.g. ``none,300`` for the
-       intermediate-weight ladder cell.
+       ``arms`` is a comma list of ``none``, w_reg values, and/or
+       ``anneal:START:END`` (exponential w_reg decay over the schedule,
+       the decay the reference's ODE configs use — ``mlp.yml``
+       w_reg 2.5→1.0). Default ``none,1000,100``; e.g. ``none,300`` for
+       the intermediate-weight ladder cell, ``anneal:1000:10`` for the
+       accuracy-recovery arm (compare against an existing ``none`` run
+       at the same steps/seed — ratios are computed only when a
+       ``none`` arm is present in THIS run).
 Env:   LRN_CPU=1 forces the CPU backend (relay-outage fallback).
 """
 import json
@@ -46,7 +51,10 @@ from localregneuralde_tpu.harness.construct import (
 )
 from localregneuralde_tpu.harness.data import one_hot, synthetic_classification
 from localregneuralde_tpu.harness.losses import accuracy, logitcrossentropy
-from localregneuralde_tpu.harness.schedulers import InverseDecay
+from localregneuralde_tpu.harness.schedulers import (
+    ExponentialDecay,
+    InverseDecay,
+)
 from localregneuralde_tpu.harness.train import create_train_state, make_train_step
 
 YAML = str(Path(__file__).resolve().parents[1] / "experiments/mnist_sde/mlp.yaml")
@@ -89,6 +97,9 @@ def make_loss(regularize):
 
 
 def run(name, regularize, w_reg, steps, seed=0, difficulty="hard"):
+    """``w_reg`` is a constant float or a callable step -> weight (the
+    annealed arms pass an ``ExponentialDecay``)."""
+    w_sched = w_reg if callable(w_reg) else (lambda step: w_reg)
     cfg, model, optimizer = build(regularize, seed)
     batch = cfg.dataset.train_batchsize
     loss_fn = make_loss(regularize)
@@ -113,7 +124,7 @@ def run(name, regularize, w_reg, steps, seed=0, difficulty="hard"):
         idx = rng.randint(0, len(x_train), batch)
         xb = jnp.asarray(x_train[idx])
         yb = jnp.asarray(y_train_oh[idx])
-        w = w_reg if regularize != "none" else 0.0
+        w = float(w_sched(step)) if regularize != "none" else 0.0
         ts, loss, stats = train_step(ts, (xb, yb), w, float(lr_sched(step)))
         if step % 25 == 0 or step == 1:
             acc = float(accuracy(stats["y_pred"], yb))
@@ -139,7 +150,7 @@ def run(name, regularize, w_reg, steps, seed=0, difficulty="hard"):
     return {
         "arm": name,
         "regularize": regularize,
-        "w_reg": w_reg,
+        "w_reg": name if callable(w_reg) else w_reg,
         "nfe_log": nfe_log,
         "acc_log": acc_log,
         "final_eval_acc": final_acc,
@@ -159,18 +170,23 @@ def main():
     for tok in arm_spec.split(","):
         if tok == "none":
             arms.append(("none", "none", 0.0))
+        elif tok.startswith("anneal:"):
+            _, start, end = tok.split(":")
+            arms.append((
+                f"unbiased-anneal-{start}-{end}",
+                "unbiased",
+                ExponentialDecay(float(start), float(end), steps),
+            ))
         else:
             w = float(tok)
             arms.append((f"unbiased-{tok}", "unbiased", w))
-    if arms[0][1] != "none":
-        raise SystemExit("first arm must be 'none' (the reduction base)")
     results = []
     for name, reg, w in arms:
         print(f"=== {name} ===", flush=True)
         results.append(run(name, reg, w, steps, seed=seed,
                            difficulty=difficulty))
-    base = results[0]
-    for r in results[1:]:
+    base = results[0] if results[0]["regularize"] == "none" else None
+    for r in (results[1:] if base is not None else []):
         r["nfe_reduction_vs_none"] = base["final_eval_nfe_drift"] / max(
             r["final_eval_nfe_drift"], 1
         )
