@@ -305,7 +305,60 @@ def _latent_bench(n_trials, n_iters):
         _ = float(loss)
         rates.append(int(jnp.sum(jnp.stack(nfes))) /
                      (time.perf_counter() - t0))
-    return _trimmed_median(rates)
+    single = _trimmed_median(rates)
+
+    # K=8 steps/call dispatch mode (same better-of-two protocol as the
+    # headline); w_reg is the latent (w_reg, w_kl) tuple — scanned as a
+    # pytree with a leading K axis.
+    try:
+        from localregneuralde_tpu.harness.train import (
+            make_multi_train_step,
+            settle_state_shapes,
+        )
+
+        K = 8
+        ts2 = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+        # the ReparameterizeLayer state holds (1,1) placeholders until the
+        # first call; the K-step scan needs settled carry shapes
+        ts2 = settle_state_shapes(model, loss_fn, ts2, batches[0],
+                                  (100.0, 0.1))
+
+        def reduce_fn(loss, stats, data):
+            return {"nfe": stats["nfe"].astype(jnp.float32)}
+
+        stepK = make_multi_train_step(model, loss_fn, optimizer, reduce_fn)
+        stacks = [
+            jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[batches[(s + j) % 8] for j in range(K)],
+            )
+            for s in range(8)
+        ]
+        jax.block_until_ready(stacks)
+        wK = (jnp.full((K,), 100.0, jnp.float32),
+              jnp.full((K,), 0.1, jnp.float32))
+        lrK = jnp.full((K,), 0.01, jnp.float32)
+        ts2, loss, red = stepK(ts2, stacks[0], wK, lrK)
+        loss.block_until_ready()
+        rates_m = []
+        it = 1
+        for _ in range(n_trials):
+            nfes = []
+            t0 = time.perf_counter()
+            for _ in range(max(1, n_iters // K) * 2):
+                ts2, loss, red = stepK(ts2, stacks[it % 8], wK, lrK)
+                nfes.append(red["nfe"])
+                it += 1
+            _ = float(loss)
+            rates_m.append(float(jnp.sum(jnp.stack(nfes))) /
+                           (time.perf_counter() - t0))
+        return max(single, _trimmed_median(rates_m))
+    except Exception:
+        import sys
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        return single
 
 
 def _ensure_live_backend(timeout_s=600):
@@ -379,10 +432,17 @@ def main():
         sde_rate = None
 
     # ---- the reference's exact tolerance (1.4e-8, maxiters 10k,
-    # 'highest' precision) on the two-level persistent path
+    # 'highest' precision) on the two-level persistent path. Same
+    # better-of-two-dispatch-modes protocol as the headline/SDE rows.
     try:
         m3, l3, n3 = _flagship_ode(1.4e-8, 10000)
         paper_rate, _ = _bench(m3, l3, n3, n_trials=3, n_iters=10)
+        try:
+            paper_multi, _ = _bench_multi(m3, l3, n3, n_trials=3, n_iters=16)
+        except Exception:
+            paper_multi = None
+        if paper_multi is not None:
+            paper_rate = max(paper_rate, paper_multi)
     except Exception as e:
         import sys
         import traceback
