@@ -224,3 +224,74 @@ def test_runner_block_mode_gspmd(tmp_path):
     np.testing.assert_allclose(
         outs[1]["best_eval_acc"], outs[2]["best_eval_acc"], atol=1e-3
     )
+
+
+def test_multi_step_settled_state_required():
+    """Models whose layer-state shapes settle on the first call (the
+    ReparameterizeLayer's (1,1) mu/logvar placeholders) hard-fail the
+    K-step scan carry unless ``settle_state_shapes`` runs first — and
+    with it, the K=2 scan matches 2 sequential single steps exactly."""
+    from localregneuralde_tpu.harness.construct import construct_time_series
+    from localregneuralde_tpu.harness.train import settle_state_shapes
+
+    cfg = ExperimentConfig()
+    cfg.model.model_type = "time_series"
+    cfg.model.regularize = "unbiased"
+    cfg.model.ts_in_dims = 4
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 6
+    cfg.model.ts_node_dims = 5
+    cfg.model.solver.abstol = 1e-2
+    cfg.model.solver.reltol = 1e-2
+    cfg.model.solver.max_steps = 16
+    cfg.model.solver.checkpoint_every = 0
+    cfg.optimizer.optimizer = "adamax"
+
+    from localregneuralde_tpu.harness.data import synthetic_physionet
+
+    data, mask, tgrid = synthetic_physionet(
+        n=8, t_steps=6, features=4, seed=0
+    )
+    dt = np.concatenate([tgrid[1:] - tgrid[:-1], [0.0]]).astype("float32")
+    dtb = np.broadcast_to(dt[None, :, None], (8, 6, 1)).copy()
+    batch = (jnp.asarray(data[:4]), jnp.asarray(mask[:4]),
+             jnp.asarray(dtb[:4]))
+
+    model = construct_time_series(cfg, saveat=jnp.asarray(tgrid))
+    loss_fn, _ = construct_loss(cfg)
+    optimizer, _ = construct_optimizer(cfg)
+    w = (10.0, 0.1)
+    K = 2
+    stack = jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * K), batch
+    )
+    wK = (jnp.full((K,), w[0], jnp.float32),
+          jnp.full((K,), w[1], jnp.float32))
+    lrK = jnp.full((K,), 0.01, jnp.float32)
+
+    def reduce_fn(loss, stats, data):
+        return {"nfe": stats["nfe"].astype(jnp.float32)}
+
+    # unsettled: the scan carry types mismatch (placeholder vs settled)
+    ts0 = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+    stepK = make_multi_train_step(model, loss_fn, optimizer, reduce_fn)
+    with pytest.raises(TypeError, match="carry"):
+        stepK(_clone(ts0), stack, wK, lrK)
+
+    # settled: exact parity with K sequential single steps
+    ts_seq = settle_state_shapes(
+        model, loss_fn, _clone(ts0), batch, w
+    )
+    ts_blk = _clone(ts_seq)
+    step1 = make_train_step(model, loss_fn, optimizer)
+    seq_nfe = 0.0
+    for _ in range(K):
+        ts_seq, loss_seq, st = step1(ts_seq, batch, w, 0.01)
+        seq_nfe += float(st["nfe"])
+    ts_blk, loss_blk, red = stepK(ts_blk, stack, wK, lrK)
+    assert float(loss_seq) == pytest.approx(float(loss_blk), rel=1e-5)
+    assert seq_nfe == float(red["nfe"])
+    for a, b in zip(jax.tree_util.tree_leaves(ts_seq.params),
+                    jax.tree_util.tree_leaves(ts_blk.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
