@@ -99,6 +99,11 @@ class OptimizerConfig:
     nesterov: bool = False
     momentum: float = 0.0
     weight_decay: float = 0.0
+    # 0 = off. Global-norm gradient clipping BEFORE the optimizer update
+    # (TPU-first production knob, no reference counterpart): stochastic
+    # regularized dynamics can hit one-step blow-ups late in training
+    # (RESULTS.md SDE frontier: w_reg 30-100 destabilization events).
+    gradient_clip_norm: float = 0.0
     scheduler: LRSchedulerConfig = field(default_factory=LRSchedulerConfig)
 
 

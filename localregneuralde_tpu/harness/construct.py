@@ -355,6 +355,14 @@ def construct_optimizer(cfg: ExperimentConfig):
                 base(lr), optax.add_decayed_weights(o.weight_decay)
             )
 
+    if getattr(o, "gradient_clip_norm", 0.0):
+        inner = make
+
+        def make(lr):  # noqa: F811
+            return optax.chain(
+                optax.clip_by_global_norm(o.gradient_clip_norm), inner(lr)
+            )
+
     opt = optax.inject_hyperparams(
         lambda learning_rate: make(learning_rate)
     )(learning_rate=o.learning_rate)

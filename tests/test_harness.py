@@ -320,6 +320,35 @@ def test_optimizer_factory_variants():
         construct_optimizer(cfg)
 
 
+def test_optimizer_gradient_clipping():
+    """optimizer.gradient_clip_norm=c clips the global grad norm BEFORE the
+    update: a huge gradient produces the same update as the same gradient
+    pre-scaled to norm c, and clip=0 leaves the optimizer unchanged."""
+    from localregneuralde_tpu.harness import ExperimentConfig
+    from localregneuralde_tpu.harness.construct import construct_optimizer
+
+    def updates_for(clip, g):
+        cfg = ExperimentConfig()
+        cfg.optimizer.optimizer = "sgd"  # update == -lr * (clipped) grad
+        cfg.optimizer.learning_rate = 1.0
+        cfg.optimizer.gradient_clip_norm = clip
+        opt, _ = construct_optimizer(cfg)
+        params = {"w": jnp.zeros((4,))}
+        u, _ = opt.update(g, opt.init(params), params)
+        return u["w"]
+
+    big = {"w": jnp.asarray([3e3, 4e3, 0.0, 0.0])}  # global norm 5e3
+    u_clip = updates_for(1.0, big)
+    np.testing.assert_allclose(
+        np.asarray(u_clip), -np.asarray([0.6, 0.8, 0.0, 0.0]), rtol=1e-6
+    )
+    small = {"w": jnp.asarray([0.3, 0.4, 0.0, 0.0])}  # norm 0.5 < clip
+    np.testing.assert_allclose(
+        np.asarray(updates_for(1.0, small)),
+        np.asarray(updates_for(0.0, small)), rtol=1e-6,
+    )
+
+
 def test_lr_scheduler_factory_variants():
     from localregneuralde_tpu.harness import ExperimentConfig
     from localregneuralde_tpu.harness.construct import construct_optimizer
