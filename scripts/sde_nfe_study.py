@@ -27,6 +27,8 @@ Usage: python scripts/sde_nfe_study.py [steps] [out.json] [difficulty]
        at the same steps/seed — ratios are computed only when a
        ``none`` arm is present in THIS run).
 Env:   LRN_CPU=1 forces the CPU backend (relay-outage fallback).
+       LRN_CLIP=c enables optimizer.gradient_clip_norm=c on every arm
+       (the destabilization-mitigation probe for the mid-weight cells).
 """
 import json
 import os
@@ -61,15 +63,17 @@ YAML = str(Path(__file__).resolve().parents[1] / "experiments/mnist_sde/mlp.yaml
 
 
 def build(regularize, seed):
-    cfg = define_configuration(
-        [
-            f"--model.regularize={regularize}",
-            # capacity headroom only — tol 1.4e-1 accepts in O(10) steps
-            "--model.solver.max_steps=512",
-            f"--seed={seed}",
-        ],
-        YAML,
-    )
+    overrides = [
+        f"--model.regularize={regularize}",
+        # capacity headroom only — tol 1.4e-1 accepts in O(10) steps
+        "--model.solver.max_steps=512",
+        f"--seed={seed}",
+    ]
+    if os.environ.get("LRN_CLIP"):
+        overrides.append(
+            f"--optimizer.gradient_clip_norm={float(os.environ['LRN_CLIP'])}"
+        )
+    cfg = define_configuration(overrides, YAML)
     model = construct_model(cfg)
     optimizer, _ = construct_optimizer(cfg)
     return cfg, model, optimizer
