@@ -102,10 +102,6 @@ def run_latent_ode_experiment(
     ed = float(cfg.train.ema_decay)
     if not 0.0 <= ed < 1.0:
         raise ValueError(f"train.ema_decay must be in [0, 1), got {ed}")
-    if ed > 0.0 and cfg.train.data_parallel != "none":
-        raise ValueError(
-            "train.ema_decay > 0 requires data_parallel='none'"
-        )
     train_step = make_train_step(model, loss_fn, optimizer,
                                  grad_accumulation=ga, ema_decay=ed)
 

@@ -126,6 +126,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
         ts = settle_state_shapes(model, loss_fn, ts, warmup_batch, w_reg0)
 
     make_block = None
+    ed = float(cfg.train.ema_decay)
     if dp_mode == "gspmd":
         from ..parallel import train_state_shardings
 
@@ -138,7 +139,8 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
         ts_sh = train_state_shardings(ts, mesh, rules)
         ts = shard_train_state(ts, mesh, shardings=ts_sh)
         step = make_sharded_train_step(
-            model, loss_fn, optimizer, mesh, rules=rules, ts_shardings=ts_sh
+            model, loss_fn, optimizer, mesh, rules=rules,
+            ts_shardings=ts_sh, ema_decay=ed,
         )
 
         def make_block(reduce_fn):
@@ -150,14 +152,15 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             return (
                 make_sharded_multi_train_step(
                     model, loss_fn, optimizer, mesh, rules=rules,
-                    ts_shardings=ts_sh, reduce_fn=reduce_fn,
+                    ts_shardings=ts_sh, reduce_fn=reduce_fn, ema_decay=ed,
                 ),
                 lambda b: shard_batch_stack(b, mesh),
             )
     else:
         mesh = make_mesh({"data": n_data})
         ts = shard_train_state(ts, mesh)
-        step = make_shardmap_train_step(model, loss_fn, optimizer, mesh)
+        step = make_shardmap_train_step(model, loss_fn, optimizer, mesh,
+                                        ema_decay=ed)
     print(
         f"data_parallel={dp_mode}: mesh "
         f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
@@ -207,10 +210,6 @@ def run_classification_experiment(
     ed = float(cfg.train.ema_decay)
     if not 0.0 <= ed < 1.0:
         raise ValueError(f"train.ema_decay must be in [0, 1), got {ed}")
-    if ed > 0.0 and cfg.train.data_parallel != "none":
-        raise ValueError(
-            "train.ema_decay > 0 requires data_parallel='none'"
-        )
 
     train_step = make_train_step(model, loss_fn, optimizer,
                                  grad_accumulation=ga, ema_decay=ed)

@@ -72,16 +72,33 @@ def make_param_shardings(params, mesh: Mesh, rules: Optional[Dict[str, P]] = Non
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def _update_ema(ema, params, ema_decay: float):
+    """Params-EMA update (or pass-through), shared by the sharded step
+    bodies. The EMA mirrors the (replicated or TP-sharded) params, so the
+    update is elementwise on identically-sharded trees — no collectives."""
+    if ema_decay > 0.0:
+        import jax.numpy as jnp
+
+        d = jnp.float32(ema_decay)
+        return jax.tree_util.tree_map(
+            lambda e, p: e * d + p * (1.0 - d), ema, params
+        )
+    return ema
+
+
 def make_sharded_train_step(
     model, loss_fn, optimizer, mesh: Mesh,
     *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
-    ts_shardings=None,
+    ts_shardings=None, ema_decay: float = 0.0,
 ) -> Callable:
     """Jitted train step with explicit input/output shardings.
 
     ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)`` — identical
     signature and semantics to the single-device step
     (``harness.train.make_train_step``), executed SPMD over the mesh.
+    ``ema_decay > 0`` folds the params-EMA update in (``ts.ema`` seeded
+    via ``harness.train.init_ema`` BEFORE sharding-spec construction so
+    the specs carry the ema leaves).
 
     Pass ``ts_shardings`` (from ``train_state_shardings``) to PIN the
     TrainState's input AND output shardings. Without it GSPMD is free to
@@ -111,6 +128,7 @@ def make_sharded_train_step(
             TrainState(
                 params=params, state=st_, opt_state=opt_state,
                 step=ts.step + 1,
+                ema=_update_ema(ts.ema, params, ema_decay),
             ),
             loss,
             stats,
@@ -137,6 +155,7 @@ def make_sharded_multi_train_step(
     model, loss_fn, optimizer, mesh: Mesh,
     *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
     ts_shardings=None, reduce_fn: Optional[Callable] = None,
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Sharded K-steps-per-dispatch train call: ``lax.scan`` over the
     sharded single-step body (``harness.train.make_multi_train_step``
@@ -181,6 +200,7 @@ def make_sharded_multi_train_step(
             ts = TrainState(
                 params=params, state=st_, opt_state=opt_state,
                 step=ts.step + 1,
+                ema=_update_ema(ts.ema, params, ema_decay),
             )
             return ts, (loss, reduce_fn(loss, stats, data))
 
@@ -243,8 +263,12 @@ def train_state_shardings(ts: TrainState, mesh: Mesh,
         lambda path, leaf: opt_sharding_for(path, leaf), ts.opt_state
     )
     state_sh = jax.tree_util.tree_map(lambda _: repl, ts.state)
+    # the params-EMA mirrors the param tree — shard it identically
+    # (tree_map over ema=None yields None: pre-EMA states stay compatible)
+    ema_sh = None if ts.ema is None else param_sh
     return TrainState(
         params=param_sh, state=state_sh, opt_state=opt_sh, step=repl,
+        ema=ema_sh,
     )
 
 
@@ -267,4 +291,6 @@ def shard_train_state(ts: TrainState, mesh: Mesh,
         state=jax.tree_util.tree_map(put, ts.state, sh.state),
         opt_state=jax.tree_util.tree_map(put, ts.opt_state, sh.opt_state),
         step=put(ts.step, sh.step),
+        ema=(None if ts.ema is None
+             else jax.tree_util.tree_map(put, ts.ema, sh.ema)),
     )

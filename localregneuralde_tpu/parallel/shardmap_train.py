@@ -67,6 +67,7 @@ def _advance_key(k, salt):
 
 def make_shardmap_train_step(
     model, loss_fn, optimizer, mesh: Mesh, *, data_axis: str = "data",
+    ema_decay: float = 0.0,
 ) -> Callable:
     """Build the per-shard-grid DP train step.
 
@@ -168,6 +169,9 @@ def make_shardmap_train_step(
                 is_leaf=lambda x: hasattr(x, "shape"),
             ),
             step=repl_spec,
+            # params-EMA rides replicated (grads are pmean'd, so the
+            # params — and hence the EMA update — are shard-identical)
+            ema=jax.tree_util.tree_map(lambda _: repl_spec, ts.ema),
         )
         data_spec = jax.tree_util.tree_map(lambda _: batch_spec, data)
 
@@ -230,9 +234,16 @@ def make_shardmap_train_step(
                 grads, opt_state, ts.params
             )
             params = optax.apply_updates(ts.params, updates)
+            if ema_decay > 0.0:
+                d = jnp.float32(ema_decay)
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: e * d + p * (1.0 - d), ts.ema, params
+                )
+            else:
+                ema = ts.ema
             ts = TrainState(
                 params=params, state=state_out, opt_state=opt_state,
-                step=ts.step + 1,
+                step=ts.step + 1, ema=ema,
             )
             return ts, loss, stats
 
