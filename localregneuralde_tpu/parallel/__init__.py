@@ -1,3 +1,4 @@
+from . import multihost
 from .mesh import data_sharding, make_mesh, replicated, shard_batch
 from .sharded_train import (
     make_param_shardings,
@@ -11,6 +12,7 @@ from .sharded_train import (
 from .shardmap_train import make_shardmap_train_step
 
 __all__ = [
+    "multihost",
     "data_sharding",
     "make_mesh",
     "replicated",

@@ -1,0 +1,100 @@
+"""Multi-process (multi-host) training test: 2 processes × 2 CPU devices,
+DP×TP mesh spanning the process boundary (Gloo collectives over
+localhost), vs the single-process 4-device run of the same step.
+
+This is the process-boundary analog of test_parallel.py — it validates
+``parallel/multihost.py``: distributed bring-up, global placement of a
+host-built TrainState, per-process batch slicing + global batch assembly,
+and the cross-process gather for checkpointing. On a real TPU pod the
+same code runs with ICI/DCN instead of Gloo.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from tests.multihost_common import GLOBAL_BATCH, make_batch, setup
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs 4 (virtual) devices"
+)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_run_matches_single_process():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers pin their own device counts
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(_DIR, "multihost_worker.py"),
+             str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(_DIR),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+
+    lines = {
+        i: [ln for ln in out.splitlines() if ln.startswith("MH_LOSSES")]
+        for i, out in enumerate(outs)
+    }
+    assert lines[0] and lines[1], f"missing loss lines:\n{outs}"
+    tok0, tok1 = lines[0][0].split(), lines[1][0].split()
+    losses_mh = [float(tok0[1]), float(tok0[2])]
+    # both processes see the same replicated loss
+    assert losses_mh == [float(tok1[1]), float(tok1[2])]
+    # primary gating: exactly one primary
+    assert "primary=True" in lines[0][0]
+    assert "primary=False" in lines[1][0]
+    assert "gather_ok=True" in lines[0][0]
+
+    # single-process reference on 4 of this test process's devices
+    from localregneuralde_tpu.harness.train import create_train_state
+    from localregneuralde_tpu.parallel import (
+        make_mesh,
+        make_sharded_train_step,
+        shard_batch,
+        shard_train_state,
+        sharding_rules_for_mlp_tp,
+        train_state_shardings,
+    )
+
+    model, loss_fn, optimizer = setup()
+    mesh = make_mesh(
+        {"data": 2, "model": 2}, devices=jax.devices()[:4]
+    )
+    rules = sharding_rules_for_mlp_tp("model")
+    ts = create_train_state(model, optimizer, jax.random.PRNGKey(0))
+    ts_sh = train_state_shardings(ts, mesh, rules)
+    ts = shard_train_state(ts, mesh, rules, shardings=ts_sh)
+    step = make_sharded_train_step(
+        model, loss_fn, optimizer, mesh, rules=rules, ts_shardings=ts_sh
+    )
+    x, y = make_batch()
+    batch = shard_batch((x, y), mesh)
+    ref = []
+    for _ in range(2):
+        ts, loss, _ = step(ts, batch, 1.0, 1e-3)
+        ref.append(float(loss))
+
+    np.testing.assert_allclose(losses_mh, ref, rtol=1e-5)
