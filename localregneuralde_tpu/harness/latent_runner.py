@@ -138,7 +138,15 @@ def run_latent_ode_experiment(
     # settled=True: this runner already ran settle_state_shapes above.
     from .runner import _wire_data_parallel
 
-    train_step, ts, place_batch, make_block = _wire_data_parallel(
+    if jax.process_count() > 1:
+        # the latent eval path clamps its batch size to the test split
+        # (breaking the global-shard divisibility contract), so pod-scale
+        # multi-process runs are classification-runner-only for now
+        raise ValueError(
+            "the latent-ODE runner is single-process; multi-process (pod) "
+            "training is supported by the classification runner families"
+        )
+    train_step, ts, place_batch, make_block, _ = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
         (float(w_reg_sched(1)), float(w_kl_sched(1))), settled=True,
     )

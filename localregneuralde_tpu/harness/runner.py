@@ -38,15 +38,25 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
     """Swap the single-device train step for a multi-chip one per
     ``cfg.train.data_parallel`` ('none' | 'gspmd' | 'shardmap') and place
     the train state on the mesh. Returns
-    ``(train_step, ts, place_batch, make_block)`` where ``place_batch``
-    devices a host batch — sharded over the mesh's data axis, or plain
-    device arrays when single-device — and ``make_block(reduce_fn)``
-    builds the K-steps-per-dispatch program for ``train.steps_per_call``:
-    ``(multi_step, place_block)`` with ``place_block`` devicing a
-    K-stacked batch (batch axis sharded under gspmd). ``make_block`` is
-    ``None`` for 'shardmap' (unsupported). Runs AFTER checkpoint resume
-    so restored host arrays get (re)sharded. Pass ``settled=True`` if
-    ``settle_state_shapes`` already ran on ``ts``."""
+    ``(train_step, ts, place_batch, make_block, place_repl)`` where
+    ``place_batch`` devices a host batch — sharded over the mesh's data
+    axis, or plain device arrays when single-device — ``make_block(
+    reduce_fn)`` builds the K-steps-per-dispatch program for
+    ``train.steps_per_call``: ``(multi_step, place_block)`` with
+    ``place_block`` devicing a K-stacked batch (batch axis sharded under
+    gspmd), and ``place_repl`` makes host values global replicated
+    arrays (identity single-process; needed so loop-carried accumulators
+    can enter a jit next to mesh-placed state under multi-process).
+    ``make_block`` is ``None`` for 'shardmap' (unsupported). Runs AFTER
+    checkpoint resume so restored host arrays get (re)sharded. Pass
+    ``settled=True`` if ``settle_state_shapes`` already ran on ``ts``.
+
+    **Multi-process (pod) mode**: when ``jax.process_count() > 1`` (the
+    entry point called ``parallel.multihost.initialize`` before touching
+    the backend), the mesh spans all processes' devices; the train state
+    is placed via ``multihost.place_train_state`` and each process
+    contributes only its contiguous row slice of every (identical,
+    seed-deterministic) host batch via ``multihost.global_batch``."""
     dp_mode = cfg.train.data_parallel
     if dp_mode not in ("none", "gspmd", "shardmap"):
         raise ValueError(
@@ -56,10 +66,17 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
     tp = int(cfg.train.tensor_parallel)
     if tp < 1:
         raise ValueError(f"train.tensor_parallel must be >= 1, got {tp}")
+    n_proc = jax.process_count()
     if dp_mode == "none":
         if tp != 1:
             raise ValueError(
                 "train.tensor_parallel > 1 requires data_parallel='gspmd'"
+            )
+        if n_proc > 1:
+            raise ValueError(
+                f"{n_proc} jax processes require data_parallel='gspmd' "
+                "or 'shardmap' (with 'none' every process would train an "
+                "independent duplicate)"
             )
 
         def make_block(reduce_fn):
@@ -78,7 +95,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
 
         return train_step, ts, (
             lambda b: jax.tree_util.tree_map(jnp.asarray, b)
-        ), make_block
+        ), make_block, (lambda t: t)
 
     from ..parallel import (
         make_mesh,
@@ -106,6 +123,12 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             f"dataset.train_batchsize={cfg.dataset.train_batchsize} must "
             f"be divisible by the data-parallel degree {n_data}"
         )
+    if n_proc > 1 and cfg.dataset.eval_batchsize % n_data:
+        raise ValueError(
+            f"dataset.eval_batchsize={cfg.dataset.eval_batchsize} must be "
+            f"divisible by the data-parallel degree {n_data} under "
+            "multi-process training (eval batches are globally sharded)"
+        )
     b_local = cfg.dataset.train_batchsize // n_data
     if dp_mode == "shardmap" and b_local % 8:
         # the mode exists to keep the persistent Pallas kernels engaged
@@ -127,6 +150,54 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
 
     make_block = None
     ed = float(cfg.train.ema_decay)
+
+    # --- batch/stack/replicated placement, single- vs multi-process ----
+    if n_proc > 1:
+        from ..parallel import multihost
+
+        _rows = {}
+
+        def _slice(gb):
+            if gb not in _rows:
+                _rows[gb] = multihost.process_batch_slice(mesh, gb)
+            return _rows[gb]
+
+        def place_batch(b):
+            gb = jax.tree_util.tree_leaves(b)[0].shape[0]
+            local = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[_slice(gb)], b
+            )
+            return multihost.global_batch(local, mesh, gb)
+
+        def place_stack(b):
+            gb = jax.tree_util.tree_leaves(b)[0].shape[1]
+            local = jax.tree_util.tree_map(
+                lambda a: np.asarray(a)[:, _slice(gb)], b
+            )
+            return multihost.global_batch_stack(local, mesh, gb)
+
+        def place_repl(t):
+            return multihost.place_replicated(t, mesh)
+
+        def place_state(ts, shardings=None, rules=None):
+            return multihost.place_train_state(
+                ts, mesh, rules, shardings=shardings
+            )
+    else:
+        def place_batch(b):
+            return shard_batch(b, mesh)
+
+        def place_stack(b):
+            from ..parallel import shard_batch_stack
+
+            return shard_batch_stack(b, mesh)
+
+        def place_repl(t):
+            return t
+
+        def place_state(ts, shardings=None, rules=None):
+            return shard_train_state(ts, mesh, rules, shardings=shardings)
+
     if dp_mode == "gspmd":
         from ..parallel import train_state_shardings
 
@@ -137,37 +208,35 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             rules = sharding_rules_for_mlp_tp()
         mesh = make_mesh(axes)
         ts_sh = train_state_shardings(ts, mesh, rules)
-        ts = shard_train_state(ts, mesh, shardings=ts_sh)
+        ts = place_state(ts, shardings=ts_sh)
         step = make_sharded_train_step(
             model, loss_fn, optimizer, mesh, rules=rules,
             ts_shardings=ts_sh, ema_decay=ed,
         )
 
         def make_block(reduce_fn):
-            from ..parallel import (
-                make_sharded_multi_train_step,
-                shard_batch_stack,
-            )
+            from ..parallel import make_sharded_multi_train_step
 
             return (
                 make_sharded_multi_train_step(
                     model, loss_fn, optimizer, mesh, rules=rules,
                     ts_shardings=ts_sh, reduce_fn=reduce_fn, ema_decay=ed,
                 ),
-                lambda b: shard_batch_stack(b, mesh),
+                place_stack,
             )
     else:
         mesh = make_mesh({"data": n_data})
-        ts = shard_train_state(ts, mesh)
+        ts = place_state(ts)
         step = make_shardmap_train_step(model, loss_fn, optimizer, mesh,
                                         ema_decay=ed)
     print(
         f"data_parallel={dp_mode}: mesh "
         f"{dict(zip(mesh.axis_names, mesh.devices.shape))} over "
-        f"{n_dev} devices",
+        f"{n_dev} devices"
+        + (f" across {n_proc} processes" if n_proc > 1 else ""),
         flush=True,
     )
-    return step, ts, (lambda b: shard_batch(b, mesh)), make_block
+    return step, ts, place_batch, make_block, place_repl
 
 
 def run_classification_experiment(
@@ -181,6 +250,14 @@ def run_classification_experiment(
     name = experiment_name(cfg, config_name)
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, cfg.train.expt_subdir, name)
     log_dir = os.path.join(cfg.train.log_dir, cfg.train.expt_subdir, name)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # pod mode: non-primary processes write checkpoints/logs to their
+        # own subdirectory — the primary's layout stays canonical, and on
+        # a shared filesystem nothing clobbers (every process saves the
+        # same gathered global state, so per-process resume is exact)
+        sub = f"proc{jax.process_index()}"
+        ckpt_dir = os.path.join(ckpt_dir, sub)
+        log_dir = os.path.join(log_dir, sub)
 
     model = construct_model(cfg)
     loss_fn, w_reg_sched = construct_loss(cfg)
@@ -262,9 +339,11 @@ def run_classification_experiment(
     # tensor parallelism over the dynamics layers); 'shardmap' runs one
     # COMPLETE per-shard solve per chip (persistent kernels engaged, one
     # pmean/step; documented estimator deviation).
-    train_step, ts, place_batch, make_block = _wire_data_parallel(
-        cfg, model, loss_fn, optimizer, train_step, ts,
-        (xw, yw), float(w_reg_sched(1)),
+    train_step, ts, place_batch, make_block, place_repl = (
+        _wire_data_parallel(
+            cfg, model, loss_fn, optimizer, train_step, ts,
+            (xw, yw), float(w_reg_sched(1)),
+        )
     )
 
     # --- optional multi-step fused train call (TPU-first addition):
@@ -343,11 +422,14 @@ def run_classification_experiment(
         }
 
     def zero_acc():
-        return {
+        # place_repl: under multi-process training the loop-carried
+        # accumulator must be a global (replicated) array to enter the
+        # window_update jit alongside mesh-placed state
+        return place_repl({
             "sums": {k: jnp.zeros(()) for k in stat_keys},
             "n": jnp.zeros((), jnp.int32),
             "ok": jnp.asarray(True),
-        }
+        })
 
     # per-phase parity probes (fwd/bwd/opt columns), run once per window
     from .train import make_phase_probes
@@ -393,7 +475,8 @@ def run_classification_experiment(
         # with EMA enabled, evaluation + best-checkpoint selection see the
         # averaged weights (train.ema_decay; the raw params keep training)
         eval_metrics = evaluate_classification(
-            cfg, eval_step, swap_ema_params(ts), eval_loader_spec, w_reg
+            cfg, eval_step, swap_ema_params(ts), eval_loader_spec, w_reg,
+            place_batch=place_batch,
         )
         em = loggers["eval_meters"]
         for k, v in eval_metrics.items():
@@ -409,8 +492,13 @@ def run_classification_experiment(
 
         is_best = eval_metrics["accuracy_top1"] >= best_eval_acc
         best_eval_acc = max(best_eval_acc, eval_metrics["accuracy_top1"])
+        # gather_to_host == device_get single-process; under multi-process
+        # it all-gathers batch-sharded state leaves so every process saves
+        # the full global state
+        from ..parallel.multihost import gather_to_host
+
         save_checkpoint(
-            {"tstate": jax.device_get(ts), "step": step},
+            {"tstate": gather_to_host(ts), "step": step},
             fdir=ckpt_dir,
             fname=f"model_step_{step}.ckpt",
             is_best=is_best,
@@ -579,19 +667,23 @@ def _run_block_loop(cfg, make_block, spc, ts, data_iter,
     }
 
 
-def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg):
+def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg,
+                            place_batch=None):
     x_test, y_test = data
     loader = make_dataloader(
         (x_test, y_test), cfg.dataset.eval_batchsize, drop_last=True
     )
+    if place_batch is None:
+        def place_batch(b):
+            return jax.tree_util.tree_map(jnp.asarray, b)
     # accumulate per-batch metrics ON DEVICE; one host sync at the end
     # (same hygiene as the train loop — per-batch float() costs ~35 ms each
     # through the TPU relay)
     device_rows = []
     count = 0
     for xb, yb in loader:
-        yb_dev = jnp.asarray(yb)
-        loss, stats = eval_step(ts, (jnp.asarray(xb), yb_dev), w_reg)
+        xb_dev, yb_dev = place_batch((xb, yb))
+        loss, stats = eval_step(ts, (xb_dev, yb_dev), w_reg)
         acc1, acc5 = accuracy(stats["y_pred"], yb_dev, (1, 5))
         bs = xb.shape[0]
         count += bs

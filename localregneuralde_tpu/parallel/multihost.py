@@ -151,6 +151,33 @@ def global_batch(local: Any, mesh: Mesh, global_batch_size: int,
     return jax.tree_util.tree_map(put, local)
 
 
+def global_batch_stack(local: Any, mesh: Mesh, global_batch_size: int,
+                       data_axis: str = "data") -> Any:
+    """Assemble a K-stacked global batch (leaves ``(K, B_local, ...)`` →
+    global ``(K, B, ...)`` with the BATCH axis (axis 1) sharded and the
+    scan axis replicated) — the multi-process analog of
+    ``shard_batch_stack`` for ``train.steps_per_call`` blocks."""
+    sh = NamedSharding(mesh, P(None, data_axis))
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sh, x, (x.shape[0], global_batch_size) + x.shape[2:]
+        )
+
+    return jax.tree_util.tree_map(put, local)
+
+
+def place_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Place host values (identical on every process) fully replicated on
+    the global mesh — loop-carried accumulators, eval batches, etc. that
+    must be global arrays to enter a jit alongside mesh-placed state."""
+    repl = NamedSharding(mesh, P())
+    return place_global(
+        tree, jax.tree_util.tree_map(lambda _: repl, tree)
+    )
+
+
 def gather_to_host(tree: Any) -> Any:
     """Materialize global (possibly non-addressable) arrays as full host
     numpy arrays on EVERY process (all-gather over DCN) — for

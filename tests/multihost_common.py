@@ -36,3 +36,33 @@ def make_batch():
     x = rng.uniform(size=(GLOBAL_BATCH, 8, 8, 1)).astype(np.float32)
     y = np.eye(10, dtype=np.float32)[rng.randint(0, 10, size=GLOBAL_BATCH)]
     return x, y
+
+
+def runner_cfg(workdir: str):
+    """The tiny end-to-end runner config shared by the 2-process workers
+    and the in-test single-process reference (identical seed ⇒ identical
+    synthetic data and batch order; GSPMD's shared global adaptive grid
+    makes the loss trajectory DP-degree-independent)."""
+    from localregneuralde_tpu.harness.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.seed = 0
+    cfg.model.model_type = "mlp"
+    cfg.model.regularize = "unbiased"
+    cfg.model.image_size = [8, 8]
+    cfg.model.in_channels = 1
+    cfg.model.mlp_hidden_state_size = 16
+    cfg.model.solver.abstol = 1e-2
+    cfg.model.solver.reltol = 1e-2
+    cfg.model.solver.max_steps = 16
+    cfg.model.solver.checkpoint_every = 4
+    cfg.optimizer.scheduler.lr_scheduler = "constant"
+    cfg.dataset.train_batchsize = 16
+    cfg.dataset.eval_batchsize = 64
+    cfg.train.total_steps = 4
+    cfg.train.print_frequency = 2
+    cfg.train.evaluate_every = 4
+    cfg.train.data_parallel = "gspmd"
+    cfg.train.checkpoint_dir = f"{workdir}/ckpt"
+    cfg.train.log_dir = f"{workdir}/logs"
+    return cfg

@@ -98,3 +98,56 @@ def test_two_process_run_matches_single_process():
         ref.append(float(loss))
 
     np.testing.assert_allclose(losses_mh, ref, rtol=1e-5)
+
+
+def test_runner_end_to_end_two_process(tmp_path):
+    """The FULL classification experiment runner in pod mode: 2 processes
+    × 2 devices, gspmd, training + windowed logging + sharded eval +
+    checkpoint gathering — final eval accuracy matches the single-process
+    run of the same config (seed-deterministic data; the shared global
+    adaptive grid makes the trajectory DP-degree-independent)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(_DIR, "multihost_runner_worker.py"),
+             str(i), str(port), str(tmp_path / f"w{i}")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(_DIR),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"runner worker {i} failed:\n{out}"
+    accs = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MH_RUNNER")]
+        assert lines, f"missing MH_RUNNER line:\n{out}"
+        accs.append(float(lines[0].split()[1]))
+    # both processes computed the same (replicated) eval metrics
+    assert accs[0] == accs[1]
+    # both processes wrote a resumable checkpoint (primary canonical,
+    # non-primary under proc1/)
+    ck0 = tmp_path / "w0" / "ckpt"
+    ck1 = tmp_path / "w1" / "ckpt"
+    assert list(ck0.rglob("model_current.ckpt"))
+    assert any("proc1" in str(p) for p in ck1.rglob("model_current.ckpt"))
+
+    # single-process reference (same config, this process's 8 devices)
+    from localregneuralde_tpu.harness.runner import (
+        run_classification_experiment,
+    )
+    from tests.multihost_common import runner_cfg
+
+    out_ref = run_classification_experiment(
+        runner_cfg(str(tmp_path / "ref")), "mhrun"
+    )
+    np.testing.assert_allclose(
+        accs[0], out_ref["best_eval_acc"], rtol=1e-6, atol=1e-4
+    )
