@@ -90,9 +90,10 @@ def run_latent_ode_experiment(
     )
     ga = max(1, int(cfg.train.grad_accumulation))
     if ga > 1:
-        if cfg.train.data_parallel != "none":
+        if cfg.train.data_parallel == "shardmap":
             raise ValueError(
-                "train.grad_accumulation > 1 requires data_parallel='none'"
+                "train.grad_accumulation > 1 supports data_parallel="
+                "'none' or 'gspmd' (not 'shardmap')"
             )
         if cfg.dataset.train_batchsize % ga:
             raise ValueError(

@@ -207,11 +207,12 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             axes["model"] = tp
             rules = sharding_rules_for_mlp_tp()
         mesh = make_mesh(axes)
+        ga = max(1, int(cfg.train.grad_accumulation))
         ts_sh = train_state_shardings(ts, mesh, rules)
         ts = place_state(ts, shardings=ts_sh)
         step = make_sharded_train_step(
             model, loss_fn, optimizer, mesh, rules=rules,
-            ts_shardings=ts_sh, ema_decay=ed,
+            ts_shardings=ts_sh, ema_decay=ed, grad_accumulation=ga,
         )
 
         def make_block(reduce_fn):
@@ -221,6 +222,7 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
                 make_sharded_multi_train_step(
                     model, loss_fn, optimizer, mesh, rules=rules,
                     ts_shardings=ts_sh, reduce_fn=reduce_fn, ema_decay=ed,
+                    grad_accumulation=ga,
                 ),
                 place_stack,
             )
@@ -270,11 +272,10 @@ def run_classification_experiment(
     # update inside the fused step (validated before any compilation).
     ga = max(1, int(cfg.train.grad_accumulation))
     if ga > 1:
-        if cfg.train.data_parallel != "none":
+        if cfg.train.data_parallel == "shardmap":
             raise ValueError(
-                "train.grad_accumulation > 1 requires "
-                "data_parallel='none' (shard the batch instead of "
-                "microbatching when a mesh is available)"
+                "train.grad_accumulation > 1 supports data_parallel="
+                "'none' or 'gspmd' (not 'shardmap')"
             )
         if cfg.dataset.train_batchsize % ga:
             raise ValueError(

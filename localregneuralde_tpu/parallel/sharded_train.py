@@ -20,7 +20,6 @@ import re
 from typing import Callable, Dict, Optional
 
 import jax
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..harness.train import TrainState
@@ -72,33 +71,25 @@ def make_param_shardings(params, mesh: Mesh, rules: Optional[Dict[str, P]] = Non
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
-def _update_ema(ema, params, ema_decay: float):
-    """Params-EMA update (or pass-through), shared by the sharded step
-    bodies. The EMA mirrors the (replicated or TP-sharded) params, so the
-    update is elementwise on identically-sharded trees — no collectives."""
-    if ema_decay > 0.0:
-        import jax.numpy as jnp
-
-        d = jnp.float32(ema_decay)
-        return jax.tree_util.tree_map(
-            lambda e, p: e * d + p * (1.0 - d), ema, params
-        )
-    return ema
-
-
 def make_sharded_train_step(
     model, loss_fn, optimizer, mesh: Mesh,
     *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
     ts_shardings=None, ema_decay: float = 0.0,
+    grad_accumulation: int = 1,
 ) -> Callable:
     """Jitted train step with explicit input/output shardings.
 
     ``train_step(ts, data, w_reg, lr) -> (ts', loss, stats)`` — identical
     signature and semantics to the single-device step
-    (``harness.train.make_train_step``), executed SPMD over the mesh.
+    (``harness.train.make_train_step``; the body IS the shared
+    ``_fused_step_body``), executed SPMD over the mesh.
     ``ema_decay > 0`` folds the params-EMA update in (``ts.ema`` seeded
     via ``harness.train.init_ema`` BEFORE sharding-spec construction so
-    the specs carry the ema leaves).
+    the specs carry the ema leaves). ``grad_accumulation=N`` microbatches
+    inside the step exactly like the single-device path — the in-jit
+    ``(B, …) -> (N, B/N, …)`` reshape of the DP-sharded batch costs one
+    GSPMD all-to-all on the (small) input tensors; the knob's purpose —
+    O(1) ACTIVATION memory in N — is unaffected.
 
     Pass ``ts_shardings`` (from ``train_state_shardings``) to PIN the
     TrainState's input AND output shardings. Without it GSPMD is free to
@@ -107,31 +98,15 @@ def make_sharded_train_step(
     the step recompiles until the layouts reach a fixed point (measured:
     3 full compiles on the DP×TP mesh before settling).
     """
+    from ..harness.train import _fused_step_body
+
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(data_axis))
 
     def step(ts: TrainState, data, w_reg, lr):
-        def objective(params):
-            loss, st_, stats = loss_fn(
-                model, params, ts.state, data, w_reg, training=True
-            )
-            return loss, (st_, stats)
-
-        (loss, (st_, stats)), grads = jax.value_and_grad(
-            objective, has_aux=True
-        )(ts.params)
-        opt_state = ts.opt_state
-        opt_state.hyperparams["learning_rate"] = lr
-        updates, opt_state = optimizer.update(grads, opt_state, ts.params)
-        params = optax.apply_updates(ts.params, updates)
-        return (
-            TrainState(
-                params=params, state=st_, opt_state=opt_state,
-                step=ts.step + 1,
-                ema=_update_ema(ts.ema, params, ema_decay),
-            ),
-            loss,
-            stats,
+        return _fused_step_body(
+            model, loss_fn, optimizer, ts, data, w_reg, lr,
+            n_micro=int(grad_accumulation), ema_decay=float(ema_decay),
         )
 
     # `batch_sh` is a pytree *prefix*: it broadcasts over any data pytree
@@ -155,11 +130,12 @@ def make_sharded_multi_train_step(
     model, loss_fn, optimizer, mesh: Mesh,
     *, rules: Optional[Dict[str, P]] = None, data_axis: str = "data",
     ts_shardings=None, reduce_fn: Optional[Callable] = None,
-    ema_decay: float = 0.0,
+    ema_decay: float = 0.0, grad_accumulation: int = 1,
 ) -> Callable:
     """Sharded K-steps-per-dispatch train call: ``lax.scan`` over the
     sharded single-step body (``harness.train.make_multi_train_step``
-    semantics, executed SPMD over the mesh).
+    semantics — the scan body IS the shared ``_fused_step_body`` —
+    executed SPMD over the mesh).
 
     ``multi_step(ts, data_stack, w_regs, lrs) -> (ts', last_loss, red)``
     where every ``data_stack`` leaf is (K, B, ...) with the BATCH axis
@@ -171,6 +147,8 @@ def make_sharded_multi_train_step(
     import jax.numpy as jnp
     from jax import lax
 
+    from ..harness.train import _fused_step_body
+
     if reduce_fn is None:
         def reduce_fn(loss, stats, data):  # noqa: F811 — default reducer
             return {"loss": loss}
@@ -181,26 +159,10 @@ def make_sharded_multi_train_step(
     def multi_step(ts: TrainState, data_stack, w_regs, lrs):
         def body(ts, xs):
             data, w_reg, lr = xs
-
-            def objective(params):
-                loss, st_, stats = loss_fn(
-                    model, params, ts.state, data, w_reg, training=True
-                )
-                return loss, (st_, stats)
-
-            (loss, (st_, stats)), grads = jax.value_and_grad(
-                objective, has_aux=True
-            )(ts.params)
-            opt_state = ts.opt_state
-            opt_state.hyperparams["learning_rate"] = lr
-            updates, opt_state = optimizer.update(
-                grads, opt_state, ts.params
-            )
-            params = optax.apply_updates(ts.params, updates)
-            ts = TrainState(
-                params=params, state=st_, opt_state=opt_state,
-                step=ts.step + 1,
-                ema=_update_ema(ts.ema, params, ema_decay),
+            ts, loss, stats = _fused_step_body(
+                model, loss_fn, optimizer, ts, data, w_reg, lr,
+                n_micro=int(grad_accumulation),
+                ema_decay=float(ema_decay),
             )
             return ts, (loss, reduce_fn(loss, stats, data))
 

@@ -162,8 +162,15 @@ def test_grad_accum_config_validation(tmp_path):
     with pytest.raises(ValueError, match="must divide"):
         run_classification_experiment(cfg, "bad_ga")
 
+    # gspmd composes (restriction lifted round 3); shardmap still declines
+    cfg = _tiny_cfg(grad_accumulation=2, data_parallel="shardmap")
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    cfg.train.log_dir = str(tmp_path / "logs")
+    with pytest.raises(ValueError, match="shardmap"):
+        run_classification_experiment(cfg, "bad_ga_dp")
+
     cfg = _tiny_cfg(grad_accumulation=2, data_parallel="gspmd")
     cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
     cfg.train.log_dir = str(tmp_path / "logs")
-    with pytest.raises(ValueError, match="data_parallel"):
-        run_classification_experiment(cfg, "bad_ga_dp")
+    out = run_classification_experiment(cfg, "ga_gspmd")
+    assert out["final_step"] == cfg.train.total_steps
