@@ -38,7 +38,7 @@ def make_batch():
     return x, y
 
 
-def runner_cfg(workdir: str):
+def runner_cfg(workdir: str, steps_per_call: int = 1):
     """The tiny end-to-end runner config shared by the 2-process workers
     and the in-test single-process reference (identical seed ⇒ identical
     synthetic data and batch order; GSPMD's shared global adaptive grid
@@ -63,6 +63,7 @@ def runner_cfg(workdir: str):
     cfg.train.print_frequency = 2
     cfg.train.evaluate_every = 4
     cfg.train.data_parallel = "gspmd"
+    cfg.train.steps_per_call = steps_per_call
     cfg.train.checkpoint_dir = f"{workdir}/ckpt"
     cfg.train.log_dir = f"{workdir}/logs"
     return cfg

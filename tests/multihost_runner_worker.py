@@ -2,12 +2,13 @@
 one of two processes running the FULL classification experiment runner
 (data_parallel=gspmd) over a process-spanning mesh.
 
-Usage: python multihost_runner_worker.py <process_id> <port> <workdir>
+Usage: python multihost_runner_worker.py <process_id> <port> <workdir> [spc]
 Prints: MH_RUNNER <best_eval_acc>
 """
 import sys
 
 proc, port, workdir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+spc = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 import jax  # noqa: E402
 
@@ -32,6 +33,6 @@ from localregneuralde_tpu.harness.runner import (  # noqa: E402
     run_classification_experiment,
 )
 
-cfg = runner_cfg(workdir)
+cfg = runner_cfg(workdir, steps_per_call=spc)
 out = run_classification_experiment(cfg, "mhrun")
 print(f"MH_RUNNER {out['best_eval_acc']:.8f}", flush=True)

@@ -100,12 +100,15 @@ def test_two_process_run_matches_single_process():
     np.testing.assert_allclose(losses_mh, ref, rtol=1e-5)
 
 
-def test_runner_end_to_end_two_process(tmp_path):
+@pytest.mark.parametrize("spc", [1, 2])
+def test_runner_end_to_end_two_process(tmp_path, spc):
     """The FULL classification experiment runner in pod mode: 2 processes
     × 2 devices, gspmd, training + windowed logging + sharded eval +
     checkpoint gathering — final eval accuracy matches the single-process
     run of the same config (seed-deterministic data; the shared global
-    adaptive grid makes the trajectory DP-degree-independent)."""
+    adaptive grid makes the trajectory DP-degree-independent). ``spc=2``
+    additionally exercises the K-steps-per-dispatch block loop's
+    multi-process stack placement (``global_batch_stack``)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -113,7 +116,7 @@ def test_runner_end_to_end_two_process(tmp_path):
         subprocess.Popen(
             [sys.executable,
              os.path.join(_DIR, "multihost_runner_worker.py"),
-             str(i), str(port), str(tmp_path / f"w{i}")],
+             str(i), str(port), str(tmp_path / f"w{i}"), str(spc)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=os.path.dirname(_DIR),
         )
@@ -146,7 +149,7 @@ def test_runner_end_to_end_two_process(tmp_path):
     from tests.multihost_common import runner_cfg
 
     out_ref = run_classification_experiment(
-        runner_cfg(str(tmp_path / "ref")), "mhrun"
+        runner_cfg(str(tmp_path / "ref"), steps_per_call=spc), "mhrun"
     )
     np.testing.assert_allclose(
         accs[0], out_ref["best_eval_acc"], rtol=1e-6, atol=1e-4
