@@ -185,6 +185,12 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             )
     else:
         def place_batch(b):
+            # non-divisible batches (e.g. an eval_batchsize that doesn't
+            # split over the data axis) stay plain device arrays — the
+            # jitted step reshards them; explicit P(data) placement would
+            # reject the uneven split
+            if jax.tree_util.tree_leaves(b)[0].shape[0] % n_data:
+                return jax.tree_util.tree_map(jnp.asarray, b)
             return shard_batch(b, mesh)
 
         def place_stack(b):
