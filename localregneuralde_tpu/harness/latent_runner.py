@@ -223,6 +223,7 @@ def run_latent_ode_experiment(
         reset_meters(tm)
 
     best_test_loss = np.inf
+    final_eval_mse, final_eval_nfe = np.inf, 0.0  # last eval, for summary
     data_iter = iter(train_loader)
 
     # --- optional K-steps-per-dispatch block loop (train.steps_per_call;
@@ -303,13 +304,17 @@ def run_latent_ode_experiment(
 
             if (step % cfg.train.evaluate_every == 0
                     or step == cfg.train.total_steps):
-                best_test_loss = _latent_eval_ckpt(
-                    cfg, eval_forward, ts, test_arrays, step,
-                    best_test_loss, loggers, ckpt_dir,
+                best_test_loss, final_eval_mse, final_eval_nfe = (
+                    _latent_eval_ckpt(
+                        cfg, eval_forward, ts, test_arrays, step,
+                        best_test_loss, loggers, ckpt_dir,
+                    )
                 )
 
         return {
             "best_eval_mse": float(best_test_loss),
+            "final_eval_mse": float(final_eval_mse),
+            "final_eval_nfe": float(final_eval_nfe),
             "real_data": bool(is_real),
             "ckpt_dir": ckpt_dir,
             "log_dir": log_dir,
@@ -346,13 +351,15 @@ def run_latent_ode_experiment(
             t_window = time.perf_counter()
 
         if step % cfg.train.evaluate_every == 0 or step == cfg.train.total_steps:
-            best_test_loss = _latent_eval_ckpt(
+            best_test_loss, final_eval_mse, final_eval_nfe = _latent_eval_ckpt(
                 cfg, eval_forward, ts, test_arrays, step, best_test_loss,
                 loggers, ckpt_dir,
             )
 
     return {
         "best_eval_mse": float(best_test_loss),
+        "final_eval_mse": float(final_eval_mse),
+        "final_eval_nfe": float(final_eval_nfe),
         "real_data": bool(is_real),
         "ckpt_dir": ckpt_dir,
         "log_dir": log_dir,
@@ -399,4 +406,4 @@ def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
         fdir=ckpt_dir, fname=f"model_step_{step}.ckpt",
         is_best=is_best,
     )
-    return best_test_loss
+    return best_test_loss, eval_mse, nfes / count

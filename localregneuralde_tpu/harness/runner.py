@@ -477,6 +477,8 @@ def run_classification_experiment(
         )
         reset_meters(tm)
 
+    final_eval: dict = {}  # last eval_metrics, surfaced in the summary
+
     def eval_and_checkpoint(step, w_reg, ts):
         nonlocal best_eval_acc
         # with EMA enabled, evaluation + best-checkpoint selection see the
@@ -496,6 +498,8 @@ def run_classification_experiment(
         )
         print(f"[eval @ {step}] {eval_metrics}", flush=True)
         reset_meters(em)
+        final_eval.clear()
+        final_eval.update({k: float(v) for k, v in eval_metrics.items()})
 
         is_best = eval_metrics["accuracy_top1"] >= best_eval_acc
         best_eval_acc = max(best_eval_acc, eval_metrics["accuracy_top1"])
@@ -512,12 +516,14 @@ def run_classification_experiment(
         )
 
     if spc > 1:
-        return _run_block_loop(
+        summary = _run_block_loop(
             cfg, make_block, spc, ts, data_iter,
             (xw, yw), w_reg_sched, lr_sched, initial_step, total_steps,
             stat_keys, print_window, eval_and_checkpoint,
             lambda: best_eval_acc, is_real, ckpt_dir, log_dir,
         )
+        summary["final_eval"] = dict(final_eval)
+        return summary
 
     acc = zero_acc()
     data_time_sum = 0.0
@@ -554,6 +560,7 @@ def run_classification_experiment(
 
     return {
         "best_eval_acc": float(best_eval_acc),
+        "final_eval": dict(final_eval),
         "final_step": total_steps,
         "real_data": bool(is_real),
         "ckpt_dir": ckpt_dir,

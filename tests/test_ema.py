@@ -134,6 +134,9 @@ def test_runner_ema_end_to_end(tmp_path):
     cfg.train.log_dir = str(tmp_path / "logs")
     out = run_classification_experiment(cfg, "tiny_ema")
     assert out["final_step"] == 2
+    # summaries surface the last eval's metrics (NFE studies consume these)
+    assert np.isfinite(out["final_eval"]["accuracy_top1"])
+    assert out["final_eval"]["nfe"] > 0
     ck = load_checkpoint(str(tmp_path / "ckpt") + "/" + out["ckpt_dir"].split("/")[-1] + "/model_current.ckpt")
     assert ck is not None
     ema_leaves = jax.tree_util.tree_leaves(ck["tstate"].ema)
@@ -158,6 +161,9 @@ def test_latent_runner_ema_end_to_end(tmp_path):
     cfg.train.log_dir = str(tmp_path / "logs")
     out = run_latent_ode_experiment(cfg, "tiny_ts_ema")
     assert np.isfinite(out["best_eval_mse"])
+    # summaries surface the last eval's metrics (NFE studies consume these)
+    assert np.isfinite(out["final_eval_mse"])
+    assert out["final_eval_nfe"] > 0
 
 
 def test_runner_ema_validation(tmp_path):
