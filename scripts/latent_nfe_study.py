@@ -15,6 +15,7 @@ physionet.npz is present (zero egress; the loader takes either).
 Usage: python scripts/latent_nfe_study.py [steps] [out.json] [arms...]
   arms default: none unbiased:100:10
   arm syntax:   none | unbiased:W0:W1 | biased:W0:W1 (exponential decay W0->W1)
+  LRN_SEED=k   env var sets the training seed for every arm (default 0)
 """
 import json
 import os
@@ -72,7 +73,8 @@ def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     out_path = sys.argv[2] if len(sys.argv) > 2 else "latent_nfe_study.json"
     arm_specs = sys.argv[3:] or ["none", "unbiased:100:10"]
-    subdir = f"latent_nfe_study_{steps}"
+    seed = int(os.environ.get("LRN_SEED", "0"))
+    subdir = f"latent_nfe_study_{steps}_s{seed}"
     for root in ("checkpoints", "logs"):
         shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 
@@ -80,7 +82,7 @@ def main():
     for spec in arm_specs:
         reg, w0, w1 = parse_arm(spec)
         print(f"=== arm {reg} w_reg={w0}->{w1} ({steps} steps) ===", flush=True)
-        results.append(run_arm(reg, w0, w1, steps, subdir))
+        results.append(run_arm(reg, w0, w1, steps, subdir, seed=seed))
     base = next((r for r in results if r["regularize"] == "none"), None)
     if base is not None:
         for r in results:
