@@ -17,6 +17,9 @@ Usage: python scripts/cifar_nfe_study.py [steps] [out.json] [arms...]
   arms default: none unbiased:2.5:2.5 stiffness:2.5:2.5
   arm syntax:   none | unbiased:W0:W1 | stiffness:W0:W1 | biased:W0:W1
   LRN_SEED=k   env var sets the training seed for every arm (default 0)
+  LRN_HARD=1   env var switches the synthetic stand-in to the 'hard'
+               difficulty (overlapping prototypes + label noise) so the
+               matched-accuracy comparison discriminates (non-saturating)
 """
 import json
 import os
@@ -58,9 +61,10 @@ def parse_arm(spec):
     return (kind, float(w0), float(w1))
 
 
-def run_arm(reg, w0, w1, steps, subdir, seed=0):
+def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     cfg = define_configuration([], str(CONFIG))
     cfg.model.model_type = "cifar10_cnn"
+    cfg.dataset.difficulty = difficulty
     cfg.model.regularize = reg
     cfg.loss.w_reg_start = w0
     cfg.loss.w_reg_end = w1
@@ -80,6 +84,7 @@ def run_arm(reg, w0, w1, steps, subdir, seed=0):
     summary["w_reg"] = [w0, w1]
     summary["seed"] = seed
     summary["steps"] = steps
+    summary["difficulty"] = difficulty
     return summary
 
 
@@ -88,7 +93,8 @@ def main():
     out_path = sys.argv[2] if len(sys.argv) > 2 else "cifar_nfe_study.json"
     arm_specs = sys.argv[3:] or ["none", "unbiased:2.5:2.5", "stiffness:2.5:2.5"]
     seed = int(os.environ.get("LRN_SEED", "0"))
-    subdir = f"cifar_nfe_study_{steps}_s{seed}"
+    difficulty = "hard" if os.environ.get("LRN_HARD") else "easy"
+    subdir = f"cifar_nfe_study_{steps}_s{seed}_{difficulty}"
     for root in ("checkpoints", "logs"):
         shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 
@@ -96,7 +102,10 @@ def main():
     for spec in arm_specs:
         reg, w0, w1 = parse_arm(spec)
         print(f"=== arm {reg} w_reg={w0}->{w1} ({steps} steps) ===", flush=True)
-        results.append(run_arm(reg, w0, w1, steps, subdir, seed=seed))
+        results.append(
+            run_arm(reg, w0, w1, steps, subdir, seed=seed,
+                    difficulty=difficulty)
+        )
     base = next((r for r in results if r["regularize"] == "none"), None)
     if base is not None:
         for r in results:
