@@ -65,7 +65,14 @@ def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     cfg = define_configuration([], str(CONFIG))
     cfg.model.model_type = "cifar10_cnn"
     cfg.dataset.difficulty = difficulty
-    cfg.model.regularize = reg
+    if reg == "stiffness":
+        # 'stiffness' selects WHAT is regularized; the t1-sampling mode
+        # stays unbiased (cf. scripts/stiffness_study.py and the reference
+        # mlp_stiff.yml whose regularize_type is stiffness_estimate)
+        cfg.model.regularize = "unbiased"
+        cfg.model.regularize_type = "stiffness_estimate"
+    else:
+        cfg.model.regularize = reg
     cfg.loss.w_reg_start = w0
     cfg.loss.w_reg_end = w1
     cfg.seed = seed
@@ -106,19 +113,21 @@ def main():
             run_arm(reg, w0, w1, steps, subdir, seed=seed,
                     difficulty=difficulty)
         )
-    base = next((r for r in results if r["regularize"] == "none"), None)
-    if base is not None:
-        for r in results:
-            if r is base:
-                continue
-            r["nfe_reduction_vs_none"] = (
-                base["final_eval"]["nfe"] / max(r["final_eval"]["nfe"], 1.0)
-            )
-            r["acc_gap_vs_none"] = (
-                r["best_eval_acc"] - base["best_eval_acc"]
-            )
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, default=str)
+        # dump after every arm: a crash in arm k keeps arms 1..k-1
+        base = next((r for r in results if r["regularize"] == "none"), None)
+        if base is not None:
+            for r in results:
+                if r is base:
+                    continue
+                r["nfe_reduction_vs_none"] = (
+                    base["final_eval"]["nfe"]
+                    / max(r["final_eval"]["nfe"], 1.0)
+                )
+                r["acc_gap_vs_none"] = (
+                    r["best_eval_acc"] - base["best_eval_acc"]
+                )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, default=str)
     for r in results:
         print(
             r["regularize"], r["w_reg"],

@@ -83,17 +83,20 @@ def main():
         reg, w0, w1 = parse_arm(spec)
         print(f"=== arm {reg} w_reg={w0}->{w1} ({steps} steps) ===", flush=True)
         results.append(run_arm(reg, w0, w1, steps, subdir, seed=seed))
-    base = next((r for r in results if r["regularize"] == "none"), None)
-    if base is not None:
-        for r in results:
-            if r is base:
-                continue
-            r["nfe_reduction_vs_none"] = (
-                base["final_eval_nfe"] / max(r["final_eval_nfe"], 1.0)
-            )
-            r["mse_gap_vs_none"] = r["best_eval_mse"] - base["best_eval_mse"]
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1, default=str)
+        # dump after every arm: a crash in arm k keeps arms 1..k-1
+        base = next((r for r in results if r["regularize"] == "none"), None)
+        if base is not None:
+            for r in results:
+                if r is base:
+                    continue
+                r["nfe_reduction_vs_none"] = (
+                    base["final_eval_nfe"] / max(r["final_eval_nfe"], 1.0)
+                )
+                r["mse_gap_vs_none"] = (
+                    r["best_eval_mse"] - base["best_eval_mse"]
+                )
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, default=str)
     for r in results:
         print(
             r["regularize"], r["w_reg"],
