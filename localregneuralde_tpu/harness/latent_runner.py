@@ -72,6 +72,13 @@ def run_latent_ode_experiment(
     name = experiment_name(cfg, config_name)
     ckpt_dir = os.path.join(cfg.train.checkpoint_dir, cfg.train.expt_subdir, name)
     log_dir = os.path.join(cfg.train.log_dir, cfg.train.expt_subdir, name)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        # pod mode: non-primary processes write checkpoints/logs under
+        # their own subdirectory (same layout as the classification
+        # runner — every process saves the same gathered global state)
+        sub = f"proc{jax.process_index()}"
+        ckpt_dir = os.path.join(ckpt_dir, sub)
+        log_dir = os.path.join(log_dir, sub)
 
     train_arrays, test_arrays, tgrid, is_real = build_physionet_arrays(cfg)
     model = construct_time_series(cfg, saveat=jnp.asarray(tgrid))
@@ -139,18 +146,28 @@ def run_latent_ode_experiment(
     # settled=True: this runner already ran settle_state_shapes above.
     from .runner import _wire_data_parallel
 
-    if jax.process_count() > 1:
-        # the latent eval path clamps its batch size to the test split
-        # (breaking the global-shard divisibility contract), so pod-scale
-        # multi-process runs are classification-runner-only for now
-        raise ValueError(
-            "the latent-ODE runner is single-process; multi-process (pod) "
-            "training is supported by the classification runner families"
-        )
-    train_step, ts, place_batch, make_block, _ = _wire_data_parallel(
+    train_step, ts, place_batch, make_block, place_repl = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
         (float(w_reg_sched(1)), float(w_kl_sched(1))), settled=True,
     )
+
+    # effective eval batch size: clamped to the test split (with drop_last
+    # an oversized eval_batchsize would yield ZERO batches — hit with the
+    # shipped physionet.yaml eval_batchsize=512 on the 409-sample synthetic
+    # test split); under multi-process training additionally rounded DOWN
+    # to the data-parallel degree so eval batches satisfy the global-shard
+    # divisibility contract (they are globally sharded via place_batch)
+    n_test = int(test_arrays[0].shape[0])
+    eval_bs = min(int(cfg.dataset.eval_batchsize), n_test)
+    if jax.process_count() > 1:
+        n_data = jax.device_count() // max(1, int(cfg.train.tensor_parallel))
+        eval_bs -= eval_bs % n_data
+        if eval_bs == 0:
+            raise ValueError(
+                f"test split ({n_test} samples) is smaller than the "
+                f"data-parallel degree {n_data}; multi-process latent eval "
+                "needs at least one full global batch"
+            )
 
     loggers = create_logger(
         log_dir, cfg.train.total_steps, latent_ode=True, expt_name=name,
@@ -179,11 +196,14 @@ def run_latent_ode_experiment(
         }
 
     def zero_acc():
-        return {
+        # place_repl: under multi-process training the loop-carried
+        # accumulator must be a global (replicated) array to enter the
+        # window_update jit alongside mesh-placed state
+        return place_repl({
             "sums": {k: jnp.zeros(()) for k in stat_keys},
             "n": jnp.zeros((), jnp.int32),
             "ok": jnp.asarray(True),
-        }
+        })
 
     from .train import make_phase_probes
 
@@ -307,7 +327,8 @@ def run_latent_ode_experiment(
                 best_test_loss, final_eval_mse, final_eval_nfe = (
                     _latent_eval_ckpt(
                         cfg, eval_forward, ts, test_arrays, step,
-                        best_test_loss, loggers, ckpt_dir,
+                        best_test_loss, loggers, ckpt_dir, eval_bs,
+                        place_batch,
                     )
                 )
 
@@ -353,7 +374,7 @@ def run_latent_ode_experiment(
         if step % cfg.train.evaluate_every == 0 or step == cfg.train.total_steps:
             best_test_loss, final_eval_mse, final_eval_nfe = _latent_eval_ckpt(
                 cfg, eval_forward, ts, test_arrays, step, best_test_loss,
-                loggers, ckpt_dir,
+                loggers, ckpt_dir, eval_bs, place_batch,
             )
 
     return {
@@ -367,30 +388,26 @@ def run_latent_ode_experiment(
 
 
 def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
-                      best_test_loss, loggers, ckpt_dir):
+                      best_test_loss, loggers, ckpt_dir, eval_bs,
+                      place_batch):
     """Masked-MSE evaluation over the test split + best/current
-    checkpointing; returns the updated best loss."""
+    checkpointing; returns the updated best loss. ``eval_bs`` is the
+    caller-validated effective batch size (clamped to the split; a
+    multiple of the data-parallel degree under multi-process training);
+    eval batches go through ``place_batch`` so they are globally sharded
+    on a mesh when one is configured."""
     mses, nfes, count = 0.0, 0.0, 0
-    # clamp to the test-split size: with drop_last (stable jit shapes) an
-    # eval_batchsize larger than the split would otherwise yield ZERO
-    # batches (hit with the shipped physionet.yaml eval_batchsize=512 on
-    # the 409-sample synthetic test split)
-    n_test = int(test_arrays[0].shape[0])
-    eval_loader = make_dataloader(
-        test_arrays, min(int(cfg.dataset.eval_batchsize), n_test),
-        drop_last=True,
-    )
+    eval_loader = make_dataloader(test_arrays, eval_bs, drop_last=True)
     # with EMA enabled, evaluation + best selection see the averaged
     # weights (train.ema_decay)
     eval_params = ts.params if ts.ema is None else ts.ema
-    for xe, me, dte in eval_loader:
-        mse, nfe = eval_forward(
-            eval_params, ts.state, jnp.asarray(xe), jnp.asarray(me),
-            jnp.asarray(dte),
-        )
-        mses += float(mse) * xe.shape[0]
-        nfes += float(nfe) * xe.shape[0]
-        count += xe.shape[0]
+    for host_batch in eval_loader:
+        xe, me, dte = place_batch(host_batch)
+        mse, nfe = eval_forward(eval_params, ts.state, xe, me, dte)
+        bs = host_batch[0].shape[0]
+        mses += float(mse) * bs
+        nfes += float(nfe) * bs
+        count += bs
     eval_mse = mses / count
     print(
         f"[eval @ {step}] masked_mse={eval_mse:.5f} "
@@ -401,8 +418,12 @@ def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
 
     is_best = eval_mse <= best_test_loss
     best_test_loss = min(best_test_loss, eval_mse)
+    # gather_to_host == device_get single-process; under multi-process it
+    # all-gathers batch-sharded leaves so every process saves full state
+    from ..parallel.multihost import gather_to_host
+
     save_checkpoint(
-        {"tstate": jax.device_get(ts), "step": step},
+        {"tstate": gather_to_host(ts), "step": step},
         fdir=ckpt_dir, fname=f"model_step_{step}.ckpt",
         is_best=is_best,
     )

@@ -67,3 +67,36 @@ def runner_cfg(workdir: str, steps_per_call: int = 1):
     cfg.train.checkpoint_dir = f"{workdir}/ckpt"
     cfg.train.log_dir = f"{workdir}/logs"
     return cfg
+
+
+def latent_cfg(workdir: str):
+    """Tiny end-to-end latent-ODE (PhysioNet-family) runner config for the
+    pod-mode test — same determinism contract as ``runner_cfg`` (identical
+    seed ⇒ identical synthetic irregular-time-series data and batch order
+    on every process; the GSPMD shared global adaptive grid makes the
+    trajectory DP-degree-independent)."""
+    from localregneuralde_tpu.harness.config import ExperimentConfig
+
+    cfg = ExperimentConfig()
+    cfg.seed = 0
+    cfg.model.model_type = "time_series"
+    cfg.model.regularize = "unbiased"
+    cfg.model.ts_in_dims = 4
+    cfg.model.ts_hidden_dims = 8
+    cfg.model.ts_latent_dims = 8
+    cfg.model.ts_node_dims = 8
+    cfg.model.solver.abstol = 1e-2
+    cfg.model.solver.reltol = 1e-2
+    cfg.model.solver.max_steps = 16
+    cfg.model.solver.checkpoint_every = 4
+    cfg.optimizer.optimizer = "adamax"
+    cfg.optimizer.scheduler.lr_scheduler = "constant"
+    cfg.dataset.train_batchsize = 16
+    cfg.dataset.eval_batchsize = 64
+    cfg.train.total_steps = 4
+    cfg.train.print_frequency = 2
+    cfg.train.evaluate_every = 4
+    cfg.train.data_parallel = "gspmd"
+    cfg.train.checkpoint_dir = f"{workdir}/ckpt"
+    cfg.train.log_dir = f"{workdir}/logs"
+    return cfg

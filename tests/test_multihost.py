@@ -154,3 +154,61 @@ def test_runner_end_to_end_two_process(tmp_path, spc):
     np.testing.assert_allclose(
         accs[0], out_ref["best_eval_acc"], rtol=1e-6, atol=1e-4
     )
+
+
+def test_latent_runner_two_process(tmp_path):
+    """The FULL latent-ODE (PhysioNet-family) runner in pod mode: 2
+    processes × 2 devices, gspmd — training + globally sharded masked-MSE
+    eval (clamped eval batch rounded to the data-parallel degree) +
+    gathered checkpoints; final metrics match the single-process run of
+    the same config (seed-deterministic synthetic data; shared global
+    adaptive grid ⇒ DP-degree-independent trajectory)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(_DIR, "multihost_latent_worker.py"),
+             str(i), str(port), str(tmp_path / f"w{i}")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(_DIR),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"latent worker {i} failed:\n{out}"
+    rows = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MH_LATENT")]
+        assert lines, f"missing MH_LATENT line:\n{out}"
+        toks = lines[0].split()
+        rows.append((float(toks[1]), float(toks[2])))
+    # both processes computed the same (replicated) eval metrics
+    assert rows[0] == rows[1]
+    # non-primary checkpoints land under proc1/
+    assert list((tmp_path / "w0" / "ckpt").rglob("model_current.ckpt"))
+    assert any(
+        "proc1" in str(p)
+        for p in (tmp_path / "w1" / "ckpt").rglob("model_current.ckpt")
+    )
+
+    # single-process reference (same config, this process's 8 devices)
+    from localregneuralde_tpu.harness.latent_runner import (
+        run_latent_ode_experiment,
+    )
+    from tests.multihost_common import latent_cfg
+
+    out_ref = run_latent_ode_experiment(
+        latent_cfg(str(tmp_path / "ref")), "mhlat"
+    )
+    np.testing.assert_allclose(
+        rows[0][0], out_ref["best_eval_mse"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        rows[0][1], out_ref["final_eval_nfe"], rtol=1e-6
+    )
