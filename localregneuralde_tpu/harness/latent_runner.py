@@ -146,9 +146,18 @@ def run_latent_ode_experiment(
     # settled=True: this runner already ran settle_state_shapes above.
     from .runner import _wire_data_parallel
 
+    if jax.process_count() > 1 and cfg.train.data_parallel == "shardmap":
+        raise ValueError(
+            "latent pod mode supports train.data_parallel='gspmd' only "
+            "(shardmap + multi-process is unverified for this runner; "
+            "see docs/MIGRATION.md)"
+        )
+    # check_eval_divisibility=False: this runner clamps eval_batchsize to
+    # the test split and rounds it to the data-parallel degree below
     train_step, ts, place_batch, make_block, place_repl = _wire_data_parallel(
         cfg, model, loss_fn, optimizer, train_step, ts, settle_batch,
         (float(w_reg_sched(1)), float(w_kl_sched(1))), settled=True,
+        check_eval_divisibility=False,
     )
 
     # effective eval batch size: clamped to the test split (with drop_last
@@ -161,13 +170,24 @@ def run_latent_ode_experiment(
     eval_bs = min(int(cfg.dataset.eval_batchsize), n_test)
     if jax.process_count() > 1:
         n_data = jax.device_count() // max(1, int(cfg.train.tensor_parallel))
-        eval_bs -= eval_bs % n_data
-        if eval_bs == 0:
+        rounded = eval_bs - eval_bs % n_data
+        if rounded == 0:
             raise ValueError(
                 f"test split ({n_test} samples) is smaller than the "
                 f"data-parallel degree {n_data}; multi-process latent eval "
                 "needs at least one full global batch"
             )
+        if rounded != eval_bs:
+            # with drop_last the tail partial batch is skipped anyway, but
+            # log the delta so pod-vs-single metric gaps are attributable
+            print(
+                f"[latent eval] eval batch rounded {eval_bs} -> {rounded} "
+                f"for data-parallel degree {n_data}; up to "
+                f"{n_test - (n_test // rounded) * rounded} of {n_test} test "
+                "samples dropped per eval vs a single-process run",
+                flush=True,
+            )
+        eval_bs = rounded
 
     loggers = create_logger(
         log_dir, cfg.train.total_steps, latent_ode=True, expt_name=name,

@@ -34,7 +34,8 @@ from .train import (
 
 
 def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
-                        warmup_batch, w_reg0, *, settled=False):
+                        warmup_batch, w_reg0, *, settled=False,
+                        check_eval_divisibility=True):
     """Swap the single-device train step for a multi-chip one per
     ``cfg.train.data_parallel`` ('none' | 'gspmd' | 'shardmap') and place
     the train state on the mesh. Returns
@@ -123,7 +124,10 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
             f"dataset.train_batchsize={cfg.dataset.train_batchsize} must "
             f"be divisible by the data-parallel degree {n_data}"
         )
-    if n_proc > 1 and cfg.dataset.eval_batchsize % n_data:
+    if (check_eval_divisibility and n_proc > 1
+            and cfg.dataset.eval_batchsize % n_data):
+        # the latent runner opts out: it clamps eval_batchsize to the test
+        # split and rounds it to n_data itself (latent_runner.py eval_bs)
         raise ValueError(
             f"dataset.eval_batchsize={cfg.dataset.eval_batchsize} must be "
             f"divisible by the data-parallel degree {n_data} under "

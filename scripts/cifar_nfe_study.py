@@ -77,7 +77,11 @@ def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     cfg.loss.w_reg_end = w1
     cfg.seed = seed
     cfg.train.total_steps = steps
-    cfg.train.evaluate_every = min(cfg.train.evaluate_every, steps)
+    # eval cadence: frequent enough to watch the baseline's train/eval-gap
+    # trajectory (round-3 collapse diagnosis), coarse enough to stay cheap
+    cfg.train.evaluate_every = min(
+        int(os.environ.get("LRN_EVAL_EVERY", "500")), steps
+    )
     cfg.train.print_frequency = min(cfg.train.print_frequency, max(steps // 10, 1))
     # compress the cosine cycle to the arm length (the shipped 31,250-step
     # cycle would leave a short run on a nearly-constant LR plateau)
