@@ -688,9 +688,12 @@ def _run_block_loop(cfg, make_block, spc, ts, data_iter,
 def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg,
                             place_batch=None):
     x_test, y_test = data
-    loader = make_dataloader(
-        (x_test, y_test), cfg.dataset.eval_batchsize, drop_last=True
-    )
+    # clamp to the split: with drop_last an eval_batchsize larger than the
+    # test set would yield ZERO batches (empty metrics) — hit with the
+    # shipped eval_batchsize=512 on small real-data artifacts (the latent
+    # runner has the same clamp)
+    eval_bs = min(int(cfg.dataset.eval_batchsize), int(x_test.shape[0]))
+    loader = make_dataloader((x_test, y_test), eval_bs, drop_last=True)
     if place_batch is None:
         def place_batch(b):
             return jax.tree_util.tree_map(jnp.asarray, b)
