@@ -41,10 +41,25 @@ from localregneuralde_tpu.harness.losses import accuracy
 from localregneuralde_tpu.harness.train import create_train_state, make_train_step
 
 
-def make_cfg(regularize, total_steps, max_steps):
+def parse_arm(spec):
+    """Arm syntax: 'none' | 'unbiased' (shipped mlp.yml w 2.5→1 exp) |
+    'stiffness:W' (mlp_stiff.yml semantics: stiffness_estimate at const
+    weight W, unbiased t1 sampling — reference perform_step.jl:40-47)."""
+    if spec.startswith("stiffness"):
+        w = float(spec.split(":")[1]) if ":" in spec else 0.1
+        return dict(name=spec, regularize="unbiased",
+                    regularize_type="stiffness_estimate",
+                    w0=w, w1=w, decay="constant")
+    return dict(name=spec, regularize=spec,
+                regularize_type="error_estimate",
+                w0=2.5, w1=1.0, decay="exponential")
+
+
+def make_cfg(arm, total_steps, max_steps):
     cfg = ExperimentConfig()
     cfg.model.model_type = "mlp"
-    cfg.model.regularize = regularize
+    cfg.model.regularize = arm["regularize"]
+    cfg.model.regularize_type = arm["regularize_type"]
     cfg.model.image_size = [28, 28]
     cfg.model.in_channels = 1
     cfg.model.mlp_hidden_state_size = 100
@@ -52,9 +67,9 @@ def make_cfg(regularize, total_steps, max_steps):
     cfg.model.solver.reltol = 1.4e-8
     cfg.model.solver.max_steps = max_steps
     cfg.model.solver.checkpoint_every = 16
-    cfg.loss.w_reg_start = 2.5
-    cfg.loss.w_reg_end = 1.0
-    cfg.loss.w_reg_decay = "exponential"
+    cfg.loss.w_reg_start = arm["w0"]
+    cfg.loss.w_reg_end = arm["w1"]
+    cfg.loss.w_reg_decay = arm["decay"]
     cfg.dataset.train_batchsize = 512
     cfg.train.total_steps = total_steps
     cfg.optimizer.optimizer = "adam"
@@ -63,9 +78,11 @@ def make_cfg(regularize, total_steps, max_steps):
     return cfg
 
 
-def run(regularize, steps, max_steps, save_params=None, difficulty="easy",
+def run(arm_spec, steps, max_steps, save_params=None, difficulty="easy",
         seed=None):
-    cfg = make_cfg(regularize, steps, max_steps)
+    arm = parse_arm(arm_spec)
+    regularize = arm["regularize"]
+    cfg = make_cfg(arm, steps, max_steps)
     if seed is not None:
         cfg.seed = seed
     model = construct_model(cfg)
@@ -117,7 +134,9 @@ def run(regularize, steps, max_steps, save_params=None, difficulty="easy",
         model, ts.params, ts.state, (xe, ye), 0.0, training=False
     )
     return dict(
-        regularize=regularize, log=log, wall_s=wall,
+        arm=arm["name"], regularize=regularize,
+        regularize_type=arm["regularize_type"],
+        w_reg=[arm["w0"], arm["w1"]], log=log, wall_s=wall,
         final_eval_acc=float(accuracy(stats_e["y_pred"], ye)),
         final_eval_nfe=int(stats_e["nfe"]),
         final_eval_success=bool(stats_e.get("solver_success", True)),
@@ -143,23 +162,30 @@ def main():
     for reg in arms:
         print(f"=== regularize={reg} (tol 1.4e-8, max_steps={max_steps}, "
               f"difficulty={difficulty}, seed={seed}) ===", flush=True)
-        sp = f"{save_dir}/paper_params_{reg}.pkl" if save_dir else None
+        tag = reg.replace(":", "_")
+        sp = f"{save_dir}/paper_params_{tag}.pkl" if save_dir else None
         results.append(run(reg, steps, max_steps, save_params=sp,
                            difficulty=difficulty, seed=seed))
+        with open(out, "w") as f:  # per-arm incremental dump
+            json.dump(results, f, indent=1)
     if len(results) < 2:
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
         print(results[0]["regularize"], "final_nfe",
               results[0]["final_eval_nfe"])
         return
-    base = results[0]["final_eval_nfe"]
-    results[1]["nfe_reduction_vs_none"] = base / max(
-        results[1]["final_eval_nfe"], 1
-    )
+    base_rows = [r for r in results if r["regularize"] == "none"]
+    if base_rows:
+        base = base_rows[0]["final_eval_nfe"]
+        for r in results:
+            if r is not base_rows[0]:
+                r["nfe_reduction_vs_none"] = base / max(
+                    r["final_eval_nfe"], 1
+                )
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     for r in results:
-        print(r["regularize"], "final_nfe", r["final_eval_nfe"], "acc",
+        print(r["arm"], "final_nfe", r["final_eval_nfe"], "acc",
               round(r["final_eval_acc"], 2), "wall_s", round(r["wall_s"], 1))
 
 
