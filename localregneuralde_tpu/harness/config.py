@@ -27,6 +27,16 @@ class SolverConfig:
     # rtol < 1e-4 — TPU's default one-pass-bf16 f32 matmuls flood the error
     # estimate with noise at tight tolerances) | default | high | highest
     precision: str = "auto"
+    # backward-pass precision for the stored-adjoint recompute/cotangent
+    # dots: 'match' re-runs them at `precision`; 'default' drops them to
+    # the backend-fast one-pass path — the controller's decisions were
+    # already made in the forward, so this trades ~1e-3-relative gradient
+    # noise (ordinary bf16-training noise) for a large backward speedup at
+    # tight tolerances. Two-level windowed replay always keeps `precision`
+    # (its replay must track the forward's accept/reject decisions).
+    # Effective on the fused Pallas backward families (the XLA-twin
+    # backward keeps `precision`).
+    grad_precision: str = "match"
     # persistent-loop Pallas kernels (whole solve / whole sweep in one TPU
     # program; automatic fallback outside the dense-knot regime) — only
     # effective when the Pallas kernel family is active

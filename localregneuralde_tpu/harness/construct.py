@@ -75,6 +75,7 @@ def _node_kwargs(cfg: ExperimentConfig):
         solver=s.ode_solver,
         adjoint=s.adjoint,
         precision=s.precision,
+        grad_precision=s.grad_precision,
         use_persistent=s.use_persistent,
         knot_window=s.knot_window if s.knot_window > 0 else None,
         compute_dtype=cfg.model.dynamics_compute_dtype,

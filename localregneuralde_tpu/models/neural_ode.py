@@ -64,6 +64,7 @@ class NeuralODE(Module):
         use_pallas: bool = False,
         use_persistent: bool = True,
         precision: str = "auto",
+        grad_precision: str = "match",
         compute_dtype: Optional[str] = None,
         knot_window: Optional[int] = None,
     ):
@@ -101,6 +102,21 @@ class NeuralODE(Module):
         from ..nn.basic import resolve_solver_precision
 
         self.mm_precision = resolve_solver_precision(precision, self.rtol)
+        # backward recompute/cotangent precision: the stored-adjoint
+        # backward re-evaluates stage matmuls only to serve GRADIENTS (the
+        # controller's accept/dt decisions were fixed in the forward), so
+        # 'default' legally trades ~1e-3-relative gradient noise for the
+        # one-pass MXU rate — a ~2x backward win at 'highest'. Two-level
+        # windowed replay is exempt (it re-runs the adaptive loop and must
+        # track the forward's decisions bitwise).
+        if grad_precision not in ("match", "default"):
+            raise ValueError(
+                f"grad_precision must be 'match' or 'default', got "
+                f"{grad_precision!r}"
+            )
+        self.bwd_precision = (
+            self.mm_precision if grad_precision == "match" else None
+        )
         if use_pallas and self.mm_precision == "high":
             # Mosaic has no dot_general lowering for Precision.HIGH (3-pass
             # bf16) — only DEFAULT and HIGHEST. The generic XLA path
@@ -274,7 +290,7 @@ class NeuralODE(Module):
             from ..ops.pallas.fused_conv_bwd import fused_conv_step_bwd
 
             spec = self._conv_spec
-            prec = self.mm_precision
+            prec = self.bwd_precision
 
             def conv_step_vjp(p, u, t, dt, k1, d_unew, d_ks):
                 zero = jnp.zeros_like(u)
@@ -287,7 +303,10 @@ class NeuralODE(Module):
             return conv_step_vjp
         from ..ops.pallas.fused_mlp_bwd import fused_step_bwd
 
-        prec = self.mm_precision
+        # recompute dots at bwd_precision (= mm_precision, or None under
+        # grad_precision='default'): stage recompute here serves gradients
+        # only — the step was already accepted in the forward
+        prec = self.bwd_precision
 
         def step_vjp(p, u, t, dt, k1, d_unew, d_ks):
             zero = jnp.zeros_like(u)
@@ -409,21 +428,28 @@ class NeuralODE(Module):
         )
 
         prec = self.mm_precision
+        bwd_prec = self.bwd_precision
         family = self._pallas_family
         chain_info = getattr(self, "_chain_info", None)
 
         def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y,
                   two_level_ctx=None):
+            # dense (single-level) sweeps recompute stages from STORED
+            # accepted knots — gradient-only, so bwd_prec applies. The
+            # two-level windowed replay re-runs the adaptive loop to
+            # regenerate knots and must track the forward's accept
+            # decisions — it keeps the forward precision.
+            sweep_prec = prec if two_level_ctx is not None else bwd_prec
             if family == "chain":
                 res = persistent_chain_sweep(
                     p["model"], chain_info, knot_ts, knot_us, naccept,
                     saveat_arr, ct_ys, ct_y, two_level_ctx=two_level_ctx,
-                    precision=prec, grad_precision=None,
+                    precision=sweep_prec, grad_precision=None,
                 )
             elif two_level_ctx is None:
                 res = persistent_stored_sweep(
                     p["model"], knot_ts, knot_us, naccept, saveat_arr,
-                    ct_ys, ct_y, precision=prec, grad_precision=None,
+                    ct_ys, ct_y, precision=sweep_prec, grad_precision=None,
                 )
             else:
                 c = two_level_ctx
