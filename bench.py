@@ -101,7 +101,7 @@ def _batch_maker(batch, image_shape, n_distinct=8):
     return make
 
 
-def _flagship_ode(rtol, max_steps):
+def _flagship_ode(rtol, max_steps, grad_precision="match"):
     from localregneuralde_tpu.harness.losses import logitcrossentropy
     from localregneuralde_tpu.models import (
         NeuralODE,
@@ -116,6 +116,7 @@ def _flagship_ode(rtol, max_steps):
     node = NeuralODE(
         td, regularize="unbiased", rtol=rtol, atol=rtol,
         max_steps=max_steps, checkpoint_every=0, use_pallas=use_pallas,
+        grad_precision=grad_precision,
     )
     model = Chain(
         flatten=Flatten(),
@@ -435,7 +436,11 @@ def main():
     # 'highest' precision) on the two-level persistent path. Same
     # better-of-two-dispatch-modes protocol as the headline/SDE rows.
     try:
-        m3, l3, n3 = _flagship_ode(1.4e-8, 10000)
+        # grad_precision='default': the backward's stage recompute runs at
+        # the one-pass MXU rate (gradient-only noise ~1e-3 rel, cosine
+        # 0.9999995 vs 'match'; measured 1.52x/step on-device K-slope —
+        # grad_precision_probe.json, gp_kslope_512.json)
+        m3, l3, n3 = _flagship_ode(1.4e-8, 10000, grad_precision="default")
         paper_rate, _ = _bench(m3, l3, n3, n_trials=3, n_iters=10)
         try:
             paper_multi, _ = _bench_multi(m3, l3, n3, n_trials=3, n_iters=16)

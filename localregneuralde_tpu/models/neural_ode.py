@@ -434,22 +434,23 @@ class NeuralODE(Module):
 
         def sweep(p, knot_ts, knot_us, naccept, saveat_arr, ct_ys, ct_y,
                   two_level_ctx=None):
-            # dense (single-level) sweeps recompute stages from STORED
-            # accepted knots — gradient-only, so bwd_prec applies. The
-            # two-level windowed replay re-runs the adaptive loop to
-            # regenerate knots and must track the forward's accept
-            # decisions — it keeps the forward precision.
-            sweep_prec = prec if two_level_ctx is not None else bwd_prec
+            # `precision` drives the two-level window REPLAY (must track
+            # the forward's accept decisions bitwise); `recompute_precision`
+            # drives the per-step stage recompute, which serves gradients
+            # only — bwd_prec (= None under grad_precision='default')
+            # applies there in both dense and two-level modes.
             if family == "chain":
                 res = persistent_chain_sweep(
                     p["model"], chain_info, knot_ts, knot_us, naccept,
                     saveat_arr, ct_ys, ct_y, two_level_ctx=two_level_ctx,
-                    precision=sweep_prec, grad_precision=None,
+                    precision=prec, grad_precision=None,
+                    recompute_precision=bwd_prec,
                 )
             elif two_level_ctx is None:
                 res = persistent_stored_sweep(
                     p["model"], knot_ts, knot_us, naccept, saveat_arr,
-                    ct_ys, ct_y, precision=sweep_prec, grad_precision=None,
+                    ct_ys, ct_y, precision=prec, grad_precision=None,
+                    recompute_precision=bwd_prec,
                 )
             else:
                 c = two_level_ctx
@@ -462,6 +463,7 @@ class NeuralODE(Module):
                     dense_cap=c["dense_cap"],
                     use_reservoir=c["use_reservoir"],
                     precision=prec, grad_precision=None,
+                    recompute_precision=bwd_prec,
                 )
             if res is None:
                 return None

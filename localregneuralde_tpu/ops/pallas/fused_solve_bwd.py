@@ -46,10 +46,14 @@ What stays in XLA (once per solve, not per step): the FSAL-chain closure
 ``vjp(f(u0, t0))`` applied to the final ``a_k``, and the pre-t0 saveat
 cotangent passthrough — see ``stored_adjoint.core_bwd``.
 
-Precision policy matches ``fused_mlp_bwd``: forward-recompute dots run at
-``precision`` (stage values must match the forward trajectory at tight
-tolerances); cotangent/weight-grad dots run at ``grad_precision``. The
-window replay runs at ``precision`` (it must track the forward exactly).
+Precision policy: cotangent/weight-grad dots run at ``grad_precision``;
+the per-step stage recompute runs at ``recompute_precision`` ('match' =
+``precision``, or a lower setting via ``solver.grad_precision='default'``
+— the recompute serves gradients only, so one-pass noise ~1e-3 relative
+is ordinary bf16-training noise and buys the 6x MXU rate back at tight
+tolerances). The window REPLAY always runs at ``precision``: it re-runs
+the adaptive loop from checkpoints and must reproduce the forward's
+accept/reject decisions bitwise.
 """
 from __future__ import annotations
 
@@ -345,15 +349,22 @@ def chain_sweep_feasible(chain_info, B: int, n_save: int,
 
 def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
                  n_dense, two_level, rtol, atol, max_steps, stride,
-                 dense_cap, tb_f, family):
+                 dense_cap, tb_f, family, recompute_precision="match"):
     n_tiles = B // tb
     coeffs = _stage_coeffs()
     ctrl = PIController()
     inv_n = 1.0 / float(B * F_logical) if two_level else 0.0
     n_tiles_f = B // tb_f if two_level else 0
     n_w = family_n_weights(family)
+    # the sweep's per-step stage recompute serves GRADIENTS only (the step
+    # was accepted in the forward), so it may run below the forward
+    # precision; the window REPLAY (family_make_f below) always keeps
+    # `precision` — it re-runs the adaptive loop and must reproduce the
+    # forward's accept decisions bitwise.
+    if recompute_precision == "match":
+        recompute_precision = precision
     read_w, eval_keep, make_stash, eval_vjp, flush = _family_hooks(
-        family, precision, grad_precision, tb
+        family, recompute_precision, grad_precision, tb
     )
 
     def kernel(*refs):
@@ -628,10 +639,11 @@ def _make_kernel(precision, grad_precision, B, F, F_logical, tb, n_save,
 def _build_call(precision, grad_precision, B, F, F_logical, H_pad, tb,
                 n_save, n_dense, two_level, rtol, atol, max_steps, stride,
                 dense_cap, tb_f, n_ckpt, vmem_limit, interpret,
-                family=("tdmlp",)):
+                family=("tdmlp",), recompute_precision="match"):
     kernel = _make_kernel(
         precision, grad_precision, B, F, F_logical, tb, n_save, n_dense,
         two_level, rtol, atol, max_steps, stride, dense_cap, tb_f, family,
+        recompute_precision=recompute_precision,
     )
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)  # noqa: E731
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
@@ -723,7 +735,8 @@ def _unpack_out(out, params, F, H_pad):
 
 def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
                             ct_ys, ct_y, precision=None,
-                            grad_precision=None):
+                            grad_precision=None,
+                            recompute_precision="match"):
     """Run the whole dense stored-adjoint sweep in one Pallas program.
 
     Returns ``(a_u, a_k, d_params)`` — the state cotangent at t0+, the
@@ -754,6 +767,7 @@ def persistent_stored_sweep(params, knot_ts, knot_us, naccept, saveat_arr,
         precision, grad_precision, B, F_pad, F, H_pad, tb, n_save, n_dense,
         False, 0.0, 0.0, 0, 1, 0, 0, 0,
         int(vmem_est) + 6 * 1024 * 1024, _interpret(),
+        recompute_precision=recompute_precision,
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     out = call(
@@ -772,6 +786,7 @@ def persistent_two_level_sweep(params, knot_ts, knot_us, naccept,
                                ckpt_qolds, *, t_end, rtol, atol, max_steps,
                                stride, dense_cap, use_reservoir=False,
                                precision=None, grad_precision=None,
+                               recompute_precision="match",
                                _return_locals=False):
     """Two-level stored-adjoint sweep: dense when the solve fits, windowed
     in-kernel replay from the forward's checkpoints otherwise (branch
@@ -806,6 +821,7 @@ def persistent_two_level_sweep(params, knot_ts, knot_us, naccept,
         True, float(rtol), float(atol), int(max_steps), int(stride),
         int(dense_cap), tb_f, n_ckpt,
         int(vmem_est) + 6 * 1024 * 1024, _interpret(),
+        recompute_precision=recompute_precision,
     )
     sc = jnp.asarray(naccept, jnp.int32)[None]
     scf = jnp.asarray(t_end, jnp.float32)[None]
@@ -833,7 +849,8 @@ def persistent_two_level_sweep(params, knot_ts, knot_us, naccept,
 
 def persistent_chain_sweep(params, chain_info, knot_ts, knot_us, naccept,
                            saveat_arr, ct_ys, ct_y, *, two_level_ctx=None,
-                           precision=None, grad_precision=None):
+                           precision=None, grad_precision=None,
+                           recompute_precision="match"):
     """Dense-chain (latent gen-dynamics) stored-adjoint sweep — dense and
     two-level modes in one entry point. Returns ``(a_u, a_k, d_params)``
     with ``d_params`` in the chain's param-tree structure (zeros for
@@ -878,7 +895,7 @@ def persistent_chain_sweep(params, chain_info, knot_ts, knot_us, naccept,
             n_dense, True, float(c["rtol"]), float(c["atol"]),
             int(c["max_steps"]), int(c["stride"]), int(c["dense_cap"]),
             tb_f, n_ckpt, int(vmem_est) + 6 * 1024 * 1024, _interpret(),
-            spec,
+            spec, recompute_precision=recompute_precision,
         )
         sc = jnp.asarray(naccept, jnp.int32)[None]
         scf = jnp.asarray(c["t_end"], jnp.float32)[None]
@@ -900,6 +917,7 @@ def persistent_chain_sweep(params, chain_info, knot_ts, knot_us, naccept,
             precision, grad_precision, B, F_pad, F, 0, tb, n_save,
             n_dense, False, 0.0, 0.0, 0, 1, 0, 0, 0,
             int(vmem_est) + 6 * 1024 * 1024, _interpret(), spec,
+            recompute_precision=recompute_precision,
         )
         sc = jnp.asarray(naccept, jnp.int32)[None]
         out = call(
