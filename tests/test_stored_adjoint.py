@@ -299,3 +299,36 @@ def test_truncated_sde_solve_routes_uncovered_saveat_grads_to_u0():
     assert not bool(loss(u0)[1])
     g = jax.grad(lambda u: loss(u)[0])(u0)
     np.testing.assert_allclose(np.asarray(g), 1.0, rtol=1e-6)
+
+
+def test_two_level_pallas_grad_precision_default():
+    """grad_precision='default' on the persistent two-level path: the
+    sweep's stage recompute runs at recompute_precision while the window
+    replay keeps the forward precision. On CPU (interpret mode) every
+    precision is exact f32, so gradients must match 'match' bitwise —
+    this pins the new kernel parameter plumbing across dense + windowed
+    branches."""
+    F, H, B = 16, 8, 4
+    dyn = TDChain(Dense(F + 1, H, "tanh"), Dense(H + 1, F))
+
+    def build(gp):
+        return NeuralODE(
+            dyn, regularize="unbiased", adjoint="stored",
+            rtol=1e-3, atol=1e-5, max_steps=64, use_pallas=True,
+            knot_window=8, grad_precision=gp,
+        )
+
+    node_m, node_d = build("match"), build("default")
+    ps, st = node_m.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, F))
+
+    def loss(node, ps, x):
+        sol, st_ = node(ps, st, x, training=True)
+        return jnp.sum(diffeqsol_to_array(sol)) + st_["reg_val"]
+
+    g_m = jax.jit(jax.grad(lambda p: loss(node_m, p, x)))(ps)
+    g_d = jax.jit(jax.grad(lambda p: loss(node_d, p, x)))(ps)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_m), jax.tree_util.tree_leaves(g_d)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
