@@ -80,10 +80,29 @@ def regularization_value(
         return internal_norm(res) * dt
     elif reg_type == "stiffness_estimate":
         k7, k6 = step.ks[6], step.ks[5]
-        den = internal_norm(step.u_new - step.g6)
-        eps = jnp.finfo(jnp.asarray(den).dtype).eps
-        est = jnp.abs(internal_norm(k7 - k6) / (den + eps)) / T.stability_size
-        return jnp.where(den == 0.0, jnp.zeros_like(est), est)
+        eps = jnp.finfo(jnp.float32).eps
+        # Guard both degenerate limits: den == 0 (the reference's explicit
+        # `iszero(den) && return 0`, perform_step.jl:45) and non-finite
+        # operands (inf/inf when a truncated/diverged solve overflows the
+        # stage values — observed on TPU when stiffness regularization
+        # drives the dynamics into max_steps saturation; the overflow
+        # analog of the reference's zero-denominator case). Double-where
+        # so the zeroed branch also has zero — not NaN — gradients.
+        # Sanitize the norm INPUTS, not just the output: NaN born inside
+        # the norms (inf − inf stages) survives a zero cotangent
+        # (0 · NaN = NaN), so the fence must sit before the subtraction's
+        # results enter any reduction.
+        finite_in = (
+            jnp.isfinite(num_x := k7 - k6).all()
+            & jnp.isfinite(den_x := step.u_new - step.g6).all()
+        )
+        num = internal_norm(jnp.where(finite_in, num_x, 0.0))
+        den = internal_norm(jnp.where(finite_in, den_x, 1.0))
+        bad = ~finite_in | (den == 0.0) | ~jnp.isfinite(num + den)
+        num_s = jnp.where(bad, 0.0, num)
+        den_s = jnp.where(bad, 1.0, den)
+        est = jnp.abs(num_s / (den_s + eps)) / T.stability_size
+        return jnp.where(bad, jnp.zeros_like(est), est)
     raise ValueError(
         f"unknown regularize_type {reg_type!r}; expected 'error_estimate' or "
         "'stiffness_estimate'"

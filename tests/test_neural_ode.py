@@ -186,3 +186,38 @@ def test_precision_high_declines_persistent_sde():
         use_persistent=True, precision="high",
     )
     assert sde.use_pallas is False
+
+
+def test_stiffness_estimate_nonfinite_guard():
+    """Overflowed stage values (inf/NaN — e.g. a diverged truncated solve)
+    must yield reg = 0 with ZERO (not NaN) gradients: a NaN here silently
+    poisons the training loss (observed on TPU at max_steps saturation).
+    The double-where keeps the zeroed branch's backward clean."""
+    from localregneuralde_tpu.ode.step import (
+        Tsit5StepResult,
+        regularization_value,
+    )
+
+    u = jnp.ones((2, 3))
+
+    def reg_of(scale):
+        ks = tuple(u * scale * (i + 1) for i in range(7))
+        step = Tsit5StepResult(u * scale, u * 0.0, ks, u, None)
+        return regularization_value(
+            "stiffness_estimate", step, u, 0.1, 1e-6, 1e-6
+        )
+
+    # healthy scale: finite value, finite gradient
+    v, g = jax.value_and_grad(reg_of)(2.0)
+    assert np.isfinite(float(v)) and np.isfinite(float(g))
+
+    # overflowed stages: inf norms -> guarded to exactly 0 with 0 grad
+    big = jnp.float32(3.0e38)
+    v_inf = reg_of(big)
+    assert float(v_inf) == 0.0
+    g_inf = jax.grad(lambda s: reg_of(s))(big)
+    assert float(g_inf) == 0.0
+
+    # NaN stages likewise
+    v_nan = reg_of(jnp.float32(np.nan))
+    assert float(v_nan) == 0.0
