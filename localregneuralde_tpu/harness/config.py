@@ -74,6 +74,13 @@ class ModelConfig:
     # low-precision dynamics compute (bandwidth lever for the conv family;
     # float32 | bfloat16); solver math stays f32 regardless
     dynamics_compute_dtype: str = "float32"
+    # BatchNorm eval-mode statistics for the conv family: 'running' is the
+    # reference (Lux testmode) semantic; 'batch' normalizes with current
+    # batch statistics in eval too — an opt-in escape hatch for the
+    # BN-inside-ODE-dynamics pathology (one running average cannot track
+    # statistics that vary along the trajectory; RESULTS.md round-4
+    # diagnosis). Documented deviation; default is reference-faithful.
+    bn_eval_stats: str = "running"
     # time_series
     ts_in_dims: int = 37
     ts_hidden_dims: int = 40

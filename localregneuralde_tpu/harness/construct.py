@@ -159,12 +159,16 @@ def _construct_cifar10_cnn(cfg: ExperimentConfig):
     """AugmenterLayer 3→8ch → BatchNorm → NeuralODE(TDChain convs) →
     conv classifier (reference ``construct.jl:212-228``; NHWC here)."""
     m = cfg.model
+    es = m.bn_eval_stats  # 'running' (reference) | 'batch' (escape hatch
+    # for the BN-inside-dynamics eval pathology — see ModelConfig)
     node_core = TDChain(
         Chain(
-            Conv((3, 3), 9, 64, use_bias=False), BatchNorm(64, "gelu")
+            Conv((3, 3), 9, 64, use_bias=False),
+            BatchNorm(64, "gelu", eval_stats=es),
         ),
         Chain(
-            Conv((3, 3), 65, 64, use_bias=False), BatchNorm(64, "gelu")
+            Conv((3, 3), 65, 64, use_bias=False),
+            BatchNorm(64, "gelu", eval_stats=es),
         ),
         Conv((3, 3), 65, 8, use_bias=False),
     )
@@ -176,7 +180,7 @@ def _construct_cifar10_cnn(cfg: ExperimentConfig):
     h, w = m.image_size
     return Chain(
         augment=AugmenterLayer(Conv((3, 3), 3, 5), axis=-1),
-        bn=BatchNorm(8),
+        bn=BatchNorm(8, eval_stats=es),
         neural_ode=NeuralODE(
             node_core, use_pallas=use_pallas, **_node_kwargs(cfg)
         ),

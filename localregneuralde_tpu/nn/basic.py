@@ -157,12 +157,26 @@ class BatchNorm(Module):
     """
 
     def __init__(self, features: int, activation=None, *, momentum: float = 0.1,
-                 eps: float = 1e-5, affine: bool = True):
+                 eps: float = 1e-5, affine: bool = True,
+                 eval_stats: str = "running"):
+        if eval_stats not in ("running", "batch"):
+            raise ValueError(
+                f"eval_stats must be 'running' or 'batch', got {eval_stats!r}"
+            )
         self.features = features
         self.activation = resolve_activation(activation)
         self.momentum = momentum
         self.eps = eps
         self.affine = affine
+        # eval-mode statistics source. 'running' is the reference (Lux)
+        # semantic. 'batch' normalizes with the CURRENT batch statistics
+        # in eval mode too (running stats are kept but unused there) — an
+        # opt-in escape hatch for BN-inside-ODE-dynamics models, where a
+        # single running average cannot represent statistics that vary
+        # along the trajectory and eval-mode flows diverge from the
+        # self-normalizing training flow (RESULTS.md round-4 diagnosis:
+        # 91% train / 14% eval on the unregularized conv baseline).
+        self.eval_stats = eval_stats
 
     def init(self, key):
         params = {}
@@ -187,6 +201,10 @@ class BatchNorm(Module):
                 "mean": (1 - m) * state["mean"] + m * mean,
                 "var": (1 - m) * state["var"] + m * var,
             }
+        elif self.eval_stats == "batch":
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            new_state = state
         else:
             mean, var = state["mean"], state["var"]
             new_state = state

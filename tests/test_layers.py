@@ -135,3 +135,60 @@ def test_tdchain_conv_split_matches_concat():
     np.testing.assert_allclose(
         np.asarray(y_fast.array), np.asarray(arr), rtol=1e-5, atol=1e-6
     )
+
+
+def test_batchnorm_eval_stats_batch():
+    """eval_stats='batch': eval-mode normalization uses current batch
+    statistics (escape hatch for BN-inside-ODE-dynamics — RESULTS.md
+    round-4 diagnosis); running stats are kept but unused in eval, and
+    eval output equals training output given identical inputs."""
+    import pytest
+
+    from localregneuralde_tpu.nn import BatchNorm
+
+    bn_run = BatchNorm(4)
+    bn_bat = BatchNorm(4, eval_stats="batch")
+    params, state = bn_run.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4)) * 3.0 + 1.0
+
+    y_tr, st_tr = bn_run.apply(params, state, x, training=True)
+    y_bat, st_bat = bn_bat.apply(params, state, x, training=False)
+    # same normalization as training mode (batch stats)
+    np.testing.assert_allclose(
+        np.asarray(y_bat), np.asarray(y_tr), rtol=1e-6, atol=1e-6
+    )
+    # eval must not touch running stats
+    for k in ("mean", "var"):
+        np.testing.assert_array_equal(
+            np.asarray(st_bat[k]), np.asarray(state[k])
+        )
+    # 'running' eval differs (fresh init stats vs batch stats)
+    y_run, _ = bn_run.apply(params, state, x, training=False)
+    assert not np.allclose(np.asarray(y_run), np.asarray(y_bat))
+
+    with pytest.raises(ValueError, match="eval_stats"):
+        BatchNorm(4, eval_stats="nope")
+
+
+def test_cifar_model_bn_eval_stats_knob():
+    """model.bn_eval_stats='batch' threads through the conv builder: the
+    eval-mode forward of a freshly built model matches its training-mode
+    logits (all-BN normalization identical), unlike the default."""
+    from localregneuralde_tpu.harness.config import ExperimentConfig
+    from localregneuralde_tpu.harness.construct import construct_model
+
+    cfg = ExperimentConfig()
+    cfg.model.model_type = "cifar10_cnn"
+    cfg.model.image_size = [8, 8]
+    cfg.model.solver.abstol = 1e-2
+    cfg.model.solver.reltol = 1e-2
+    cfg.model.solver.max_steps = 16
+    cfg.model.bn_eval_stats = "batch"
+    model = construct_model(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    y_tr, _ = model(params, state, x, training=True)
+    y_ev, _ = model(params, state, x, training=False)
+    np.testing.assert_allclose(
+        np.asarray(y_ev), np.asarray(y_tr), rtol=1e-4, atol=1e-5
+    )
