@@ -20,6 +20,8 @@ Usage: python scripts/cifar_nfe_study.py [steps] [out.json] [arms...]
   LRN_HARD=1   env var switches the synthetic stand-in to the 'hard'
                difficulty (overlapping prototypes + label noise) so the
                matched-accuracy comparison discriminates (non-saturating)
+  LRN_BN_EVAL=batch  sets model.bn_eval_stats (escape hatch for the
+               BN-inside-dynamics eval pathology; default 'running')
 """
 import json
 import os
@@ -64,6 +66,7 @@ def parse_arm(spec):
 def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     cfg = define_configuration([], str(CONFIG))
     cfg.model.model_type = "cifar10_cnn"
+    cfg.model.bn_eval_stats = os.environ.get("LRN_BN_EVAL", "running")
     cfg.dataset.difficulty = difficulty
     if reg == "stiffness":
         # 'stiffness' selects WHAT is regularized; the t1-sampling mode
@@ -106,6 +109,8 @@ def main():
     seed = int(os.environ.get("LRN_SEED", "0"))
     difficulty = "hard" if os.environ.get("LRN_HARD") else "easy"
     subdir = f"cifar_nfe_study_{steps}_s{seed}_{difficulty}"
+    if os.environ.get("LRN_BN_EVAL"):
+        subdir += f"_bn{os.environ['LRN_BN_EVAL']}"
     for root in ("checkpoints", "logs"):
         shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 
