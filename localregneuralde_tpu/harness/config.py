@@ -148,8 +148,9 @@ class TrainConfig:
     # K > 1 scans K optimizer steps inside ONE donated jit per host
     # dispatch (amortizes dispatch latency + host-side batch handling;
     # train.make_multi_train_step). Must divide print_frequency and
-    # evaluate_every; single-device only. TPU-first addition — no
-    # reference counterpart.
+    # evaluate_every; 0 = auto (largest valid K <= 8 on the TPU backend,
+    # 1 elsewhere — runner.resolve_steps_per_call). TPU-first addition —
+    # no reference counterpart.
     steps_per_call: int = 1
     # N > 1 splits each batch into N sequential microbatches, accumulating
     # gradients in a lax.scan carry before ONE optimizer update (large
@@ -157,6 +158,14 @@ class TrainConfig:
     # dataset.train_batchsize; data_parallel='none' only. Composes with
     # steps_per_call. TPU-first addition — no reference counterpart.
     grad_accumulation: int = 1
+    # N >= 2 keeps N batches placed on device ahead of the training loop
+    # (async H2D overlaps the running step — harness.data.
+    # prefetch_to_device). 0/1 = place-on-demand. Composes with
+    # steps_per_call (whole K-stacks are prefetched) and data_parallel
+    # (placement is the mesh-sharded/global one). TPU-first addition — no
+    # reference counterpart (utils.jl's channel overlaps host assembly
+    # only).
+    device_prefetch: int = 2
     # decay > 0 maintains an exponential moving average of params inside
     # the fused step (ema' = ema·d + params·(1−d)); evaluation and
     # best-checkpoint selection then use the EMA weights (standard for

@@ -145,6 +145,7 @@ def _construct_mlp_sde(cfg: ExperimentConfig):
             regularize=m.regularize,
             adjoint=s.adjoint,
             precision=s.precision,
+            grad_precision=s.grad_precision,
             solver=m.sde_solver,
             noise_dims=noise_dims,
             use_pallas=use_pallas,

@@ -162,23 +162,46 @@ def synthetic_classification(
 
 
 def synthetic_physionet(
-    n=1024, t_steps=49, features=37, seed=0, observe_prob=0.5
+    n=1024, t_steps=49, features=37, seed=0, observe_prob=0.5,
+    difficulty="easy",
 ):
-    """Irregularly-observed multivariate series from a latent 2-D oscillator,
+    """Irregularly-observed multivariate series from a latent oscillator,
     shaped like the PhysioNet tuples the reference builds
     (``experiments/physionet/main.jl:15-30``): returns
-    (data (N,T,F), mask (N,T,F), tgrid (T,)) in batch-major layout."""
+    (data (N,T,F), mask (N,T,F), tgrid (T,)) in batch-major layout.
+
+    ``difficulty='easy'`` (default): a smooth 2-D oscillator — at the
+    shipped tol 1.4e-8 the trained dynamics sit near the adaptive-solver
+    floor (NFE ≈ 5k), so NFE comparisons are vacuous ("nothing to cut";
+    round-4 ladder finding). ``'hard'``: a 4-D multi-scale latent — the
+    slow pair plus a faster low-amplitude pair (4–8× the slow frequency,
+    amplitude comparable to the observation-noise floor) and 5× higher
+    observation noise. Fitting the fast pair forces high-frequency
+    learned dynamics (NFE well off the floor) while buying little masked
+    MSE over the noise floor — so a regularized arm can trade it away at
+    matched MSE and the comparison discriminates (the latent-family
+    analog of the classification stand-in's 'hard' mode)."""
     rng = np.random.RandomState(seed)
     tgrid = np.sort(rng.rand(t_steps).astype(np.float32))
     tgrid[0] = 0.0
-    decoder = rng.randn(2, features).astype(np.float32) * 0.5
+    hard = difficulty == "hard"
+    d_latent = 4 if hard else 2
+    decoder = rng.randn(d_latent, features).astype(np.float32) * 0.5
     phase = rng.rand(n, 1).astype(np.float32) * 2 * np.pi
     freqs = 1.0 + rng.rand(n, 1).astype(np.float32)
     z1 = np.sin(2 * np.pi * freqs * tgrid[None, :] + phase)
     z2 = np.cos(2 * np.pi * freqs * tgrid[None, :] + phase)
-    latent = np.stack([z1, z2], axis=-1)  # (N, T, 2)
+    comps = [z1, z2]
+    if hard:
+        phase_f = rng.rand(n, 1).astype(np.float32) * 2 * np.pi
+        freqs_f = 4.0 + 4.0 * rng.rand(n, 1).astype(np.float32)
+        amp = 0.4
+        comps.append(amp * np.sin(2 * np.pi * freqs_f * tgrid[None, :] + phase_f))
+        comps.append(amp * np.cos(2 * np.pi * freqs_f * tgrid[None, :] + phase_f))
+    latent = np.stack(comps, axis=-1)  # (N, T, d_latent)
     data = latent @ decoder  # (N, T, F)
-    data += 0.05 * rng.randn(*data.shape).astype(np.float32)
+    noise = 0.25 if hard else 0.05
+    data += noise * rng.randn(*data.shape).astype(np.float32)
     mask = (rng.rand(n, t_steps, features) < observe_prob).astype(np.float32)
     return data.astype(np.float32), mask, tgrid
 
@@ -207,6 +230,40 @@ def one_hot(y: np.ndarray, num_classes: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # batching + threaded prefetch
+
+
+def prefetch_to_device(iterator, place, size: int = 2):
+    """Device-resident input prefetch: keep ``size`` batches placed on
+    device ahead of consumption so the (asynchronously dispatched) H2D
+    transfer of batch k+1 overlaps the device compute of batch k.
+
+    ``place`` is the runner's batch-placement function (plain
+    ``jnp.asarray`` single-device, mesh-sharded under data-parallel, or a
+    global-array build under multi-process) — every placement JAX offers
+    is an async dispatch, so enqueueing ahead is what buys the overlap.
+    ``size<=1`` degrades to place-on-demand (the pre-round-5 behavior).
+    Reference intent: the buffered-channel data pipeline of
+    ``experiments/src/utils.jl:155-166`` (which only overlaps HOST batch
+    assembly; this extends the overlap across the host→device transfer —
+    ~15% of the paper-tolerance step through the TPU relay, round-4
+    verdict Weak #5)."""
+    import collections
+    import itertools
+
+    if size <= 1:
+        for item in iterator:
+            yield place(item)
+        return
+    q: "collections.deque" = collections.deque()
+
+    def enqueue(n):
+        for item in itertools.islice(iterator, n):
+            q.append(place(item))
+
+    enqueue(size)
+    while q:
+        yield q.popleft()
+        enqueue(1)
 
 
 def make_dataloader(arrays, batch_size, *, backend: str = "auto", **kwargs):
@@ -242,6 +299,7 @@ class Dataloader:
         seed: int = 0,
         prefetch: int = 4,
         drop_last: bool = True,
+        skip_batches: int = 0,
     ):
         self.arrays = arrays
         self.batch_size = batch_size
@@ -249,6 +307,11 @@ class Dataloader:
         self.cycle = cycle
         self.seed = seed
         self.prefetch = prefetch
+        # index-only fast-forward for exact checkpoint resume: the stream
+        # replays the SAME per-epoch permutations (seed + epoch) starting
+        # mid-epoch, so a resumed run sees the identical batch sequence an
+        # uninterrupted run would have seen from that step
+        self.skip_batches = max(0, int(skip_batches))
         n = arrays[0].shape[0]
         if drop_last:
             self.n_batches = n // batch_size
@@ -266,16 +329,20 @@ class Dataloader:
         return idx
 
     def _produce(self, q: "queue.Queue"):
-        epoch = 0
+        nb = self.n_batches
+        epoch, b0 = (
+            divmod(self.skip_batches, nb) if nb > 0 else (0, 0)
+        )
         while True:
             idx = self._indices(epoch)
-            for b in range(self.n_batches):
+            for b in range(b0, nb):
                 sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
                 q.put(tuple(a[sel] for a in self.arrays))
             if not self.cycle:
                 q.put(None)
                 return
             epoch += 1
+            b0 = 0
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

@@ -47,7 +47,8 @@ def build_physionet_arrays(cfg: ExperimentConfig):
         real = True
     else:
         data, mask, tgrid = synthetic_physionet(
-            n=2048, t_steps=49, features=cfg.model.ts_in_dims, seed=cfg.seed
+            n=2048, t_steps=49, features=cfg.model.ts_in_dims, seed=cfg.seed,
+            difficulty=getattr(cfg.dataset, "difficulty", "easy"),
         )
         real = False
 
@@ -123,18 +124,23 @@ def run_latent_ode_experiment(
         ) / data.shape[0]
         return mse, st_["neural_ode"]["nfe"]
 
-    train_loader = make_dataloader(
-        train_arrays, cfg.dataset.train_batchsize, shuffle=True, cycle=True,
-        seed=cfg.seed,
-    )
-
     initial_step = 1
+    restored_best = None
     resume_path = cfg.train.resume or os.path.join(ckpt_dir, "model_current.ckpt")
     if os.path.exists(resume_path):
         restored = load_checkpoint(resume_path)
         if restored is not None:
             ts = jax.tree_util.tree_map(jnp.asarray, restored["tstate"])
             initial_step = int(restored["step"]) + 1
+            restored_best = restored.get("best")
+
+    # loader AFTER resume: skip_batches fast-forwards the seeded stream so
+    # a resumed run consumes the exact batch sequence of an uninterrupted
+    # run (same contract as the classification runner)
+    train_loader = make_dataloader(
+        train_arrays, cfg.dataset.train_batchsize, shuffle=True, cycle=True,
+        seed=cfg.seed, skip_batches=initial_step - 1,
+    )
 
     if ed > 0.0 and ts.ema is None:
         from .train import init_ema
@@ -178,13 +184,17 @@ def run_latent_ode_experiment(
                 "needs at least one full global batch"
             )
         if rounded != eval_bs:
-            # with drop_last the tail partial batch is skipped anyway, but
-            # log the delta so pod-vs-single metric gaps are attributable
+            # with drop_last a single-process run ALSO skips its tail
+            # partial batch (n_test % eval_bs samples), so report the
+            # pod-vs-single DELTA, not the absolute skip (ADVICE r4)
+            skipped_pod = n_test % rounded
+            skipped_single = n_test % eval_bs
             print(
                 f"[latent eval] eval batch rounded {eval_bs} -> {rounded} "
-                f"for data-parallel degree {n_data}; up to "
-                f"{n_test - (n_test // rounded) * rounded} of {n_test} test "
-                "samples dropped per eval vs a single-process run",
+                f"for data-parallel degree {n_data}; "
+                f"{skipped_pod} of {n_test} test samples skipped per eval "
+                f"pass ({skipped_pod - skipped_single:+d} vs a "
+                "single-process run)",
                 flush=True,
             )
         eval_bs = rounded
@@ -262,13 +272,23 @@ def run_latent_ode_experiment(
         )
         reset_meters(tm)
 
-    best_test_loss = np.inf
+    best_test_loss = (
+        np.inf if restored_best is None else float(restored_best)
+    )
     final_eval_mse, final_eval_nfe = np.inf, 0.0  # last eval, for summary
     data_iter = iter(train_loader)
 
     # --- optional K-steps-per-dispatch block loop (train.steps_per_call;
-    # same semantics/validation as the classification runner)
-    spc = max(1, int(cfg.train.steps_per_call))
+    # same semantics/validation as the classification runner; 0 = auto)
+    from .runner import resolve_steps_per_call
+
+    spc = resolve_steps_per_call(
+        cfg.train.steps_per_call, cfg.train.print_frequency,
+        cfg.train.evaluate_every, cfg.train.data_parallel,
+    )
+    if int(cfg.train.steps_per_call) == 0 and spc > 1:
+        print(f"steps_per_call=auto -> K={spc} (TPU dispatch batching)",
+              flush=True)
     if spc > 1:
         if cfg.train.data_parallel == "shardmap":
             raise ValueError(
@@ -297,18 +317,32 @@ def run_latent_ode_experiment(
 
         multi_step, place_block = make_block(latent_reduce)
 
+        from .data import prefetch_to_device
+
+        def _host_stacks():
+            s = initial_step - 1
+            while s < cfg.train.total_steps:
+                bk = min(spc - (s % spc), cfg.train.total_steps - s)
+                host = [next(data_iter) for _ in range(bk)]
+                stacked = tuple(
+                    np.stack([b[i] for b in host]) for i in range(3)
+                )
+                s += bk
+                yield bk, stacked
+
+        dev_stacks = prefetch_to_device(
+            _host_stacks(), lambda it: (it[0], place_block(it[1])),
+            size=int(cfg.train.device_prefetch),
+        )
+
         pending = []
         window_n = 0
         data_time_sum = 0.0
         t_window = time.perf_counter()
         step = initial_step - 1
         while step < cfg.train.total_steps:
-            bk = min(spc - (step % spc), cfg.train.total_steps - step)
             t0 = time.perf_counter()
-            host = [next(data_iter) for _ in range(bk)]
-            stacked = tuple(
-                np.stack([b[i] for b in host]) for i in range(3)
-            )
+            bk, batch_stack = next(dev_stacks)
             data_time_sum += time.perf_counter() - t0
             srange = range(step + 1, step + bk + 1)
             w_regs = (
@@ -316,7 +350,6 @@ def run_latent_ode_experiment(
                 np.asarray([w_kl_sched(s) for s in srange], np.float32),
             )
             lrs = np.asarray([lr_sched(s) for s in srange], np.float32)
-            batch_stack = place_block(stacked)
             ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
             pending.append(red)
             window_n += bk
@@ -336,7 +369,9 @@ def run_latent_ode_experiment(
                 print_window(
                     step, sums, max(window_n, 1), n_fail == 0.0,
                     time.perf_counter() - t_window, data_time_sum,
-                    stacked[0].shape[1], last_batch, w, ts,
+                    int(jax.tree_util.tree_leaves(
+                        batch_stack)[0].shape[1]),
+                    last_batch, w, ts,
                 )
                 window_n = 0
                 data_time_sum = 0.0
@@ -365,19 +400,23 @@ def run_latent_ode_experiment(
     acc = zero_acc()
     data_time_sum = 0.0
     t_window = time.perf_counter()
+    # device-resident prefetch (train.device_prefetch; see the
+    # classification runner): async H2D overlaps the running step
+    from .data import prefetch_to_device
+
+    dev_iter = prefetch_to_device(
+        data_iter, place_batch, size=int(cfg.train.device_prefetch)
+    )
     for step in range(initial_step, cfg.train.total_steps + 1):
         t0 = time.perf_counter()
-        xb, mb, dtb = next(data_iter)
+        batch = next(dev_iter)
         data_time_sum += time.perf_counter() - t0
 
         w = (float(w_reg_sched(step)), float(w_kl_sched(step)))
         lr = float(lr_sched(step))
-        # host batch goes through place_batch ONCE (sharded over the mesh
-        # or plain device arrays) — no default-device hop first
-        batch = place_batch((xb, mb, dtb))
         ts, loss, stats = train_step(ts, batch, w, lr)
         acc = window_update(acc, loss, stats)
-        bs = xb.shape[0]
+        bs = int(batch[0].shape[0])
 
         if step % cfg.train.print_frequency == 0:
             wv = jax.device_get(acc)  # the window's single host sync
@@ -443,7 +482,8 @@ def _latent_eval_ckpt(cfg, eval_forward, ts, test_arrays, step,
     from ..parallel.multihost import gather_to_host
 
     save_checkpoint(
-        {"tstate": gather_to_host(ts), "step": step},
+        {"tstate": gather_to_host(ts), "step": step,
+         "best": float(best_test_loss)},
         fdir=ckpt_dir, fname=f"model_step_{step}.ckpt",
         is_best=is_best,
     )

@@ -251,6 +251,30 @@ def _wire_data_parallel(cfg, model, loss_fn, optimizer, train_step, ts,
     return step, ts, place_batch, make_block, place_repl
 
 
+def resolve_steps_per_call(spc, print_frequency, evaluate_every,
+                           data_parallel="none", backend=None):
+    """Resolve ``train.steps_per_call``: 0 = auto. Auto picks the largest
+    K <= 8 that divides both the print and eval cadences (so logging is
+    step-exact) — on the TPU backend only, where per-dispatch latency is
+    ~50-90 ms through the relay and the K-step donated scan measured
+    1.21x (flagship) / 1.52x-enabling (paper tolerance) over per-step
+    dispatch (RESULTS.md round 4; round-4 verdict Weak #6: stock configs
+    were dispatch-bound). On CPU / under shardmap DP, auto = 1 (the scan
+    only adds compile time there)."""
+    spc = int(spc)
+    if spc != 0:
+        return max(1, spc)
+    import jax as _jax
+
+    backend = backend or _jax.default_backend()
+    if backend != "tpu" or data_parallel == "shardmap":
+        return 1
+    for k in range(8, 1, -1):
+        if print_frequency % k == 0 and evaluate_every % k == 0:
+            return k
+    return 1
+
+
 def run_classification_experiment(
     cfg: ExperimentConfig,
     config_name: str = "run",
@@ -309,24 +333,32 @@ def run_classification_experiment(
         x_train = normalize(x_train)
         x_test = normalize(x_test)
     nc = cfg.model.num_classes
-    train_loader = make_dataloader(
-        (x_train, one_hot(y_train, nc)),
-        cfg.dataset.train_batchsize,
-        shuffle=True,
-        cycle=True,
-        seed=cfg.seed,
-    )
     eval_loader_spec = (x_test, one_hot(y_test, nc))
 
     # --- checkpoint resume (reference main.jl:57-72)
     initial_step = 1
+    restored_best = None
     resume_path = cfg.train.resume or os.path.join(ckpt_dir, "model_current.ckpt")
     if os.path.exists(resume_path):
         restored = load_checkpoint(resume_path)
         if restored is not None:
             ts = jax.tree_util.tree_map(jnp.asarray, restored["tstate"])
             initial_step = int(restored["step"]) + 1
+            restored_best = restored.get("best")
             print(f"resumed from {resume_path} at step {initial_step}")
+
+    # train loader AFTER resume: skip_batches fast-forwards the seeded
+    # stream (index-only) so a resumed run consumes the exact batch
+    # sequence the uninterrupted run would have from initial_step — with
+    # the restored `best` marker this makes kill/resume trajectory-exact
+    train_loader = make_dataloader(
+        (x_train, one_hot(y_train, nc)),
+        cfg.dataset.train_batchsize,
+        shuffle=True,
+        cycle=True,
+        seed=cfg.seed,
+        skip_batches=initial_step - 1,
+    )
 
     if ed > 0.0 and ts.ema is None:
         # fresh start, or resume from a pre-EMA checkpoint: seed at params
@@ -359,9 +391,15 @@ def run_classification_experiment(
 
     # --- optional multi-step fused train call (TPU-first addition):
     # train.steps_per_call=K scans K optimizer steps inside ONE donated jit
-    # per host dispatch (train.make_multi_train_step). Validated here so a
-    # bad config fails before any compilation.
-    spc = max(1, int(cfg.train.steps_per_call))
+    # per host dispatch (train.make_multi_train_step); 0 = auto-select.
+    # Validated here so a bad config fails before any compilation.
+    spc = resolve_steps_per_call(
+        cfg.train.steps_per_call, cfg.train.print_frequency,
+        cfg.train.evaluate_every, cfg.train.data_parallel,
+    )
+    if int(cfg.train.steps_per_call) == 0 and spc > 1:
+        print(f"steps_per_call=auto -> K={spc} (TPU dispatch batching)",
+              flush=True)
     if spc > 1:
         if cfg.train.data_parallel == "shardmap":
             raise ValueError(
@@ -399,7 +437,7 @@ def run_classification_experiment(
     )
     tm = loggers["train_meters"]
 
-    best_eval_acc = -np.inf
+    best_eval_acc = -np.inf if restored_best is None else float(restored_best)
     data_iter = iter(train_loader)
 
     # --- device-side window accumulator: ONE host sync per print window
@@ -513,7 +551,11 @@ def run_classification_experiment(
         from ..parallel.multihost import gather_to_host
 
         save_checkpoint(
-            {"tstate": gather_to_host(ts), "step": step},
+            # "best": the running best-eval marker, so a resumed run keeps
+            # best-checkpoint selection exact (absent in pre-round-5
+            # checkpoints; resume treats that as -inf, the old behavior)
+            {"tstate": gather_to_host(ts), "step": step,
+             "best": float(best_eval_acc)},
             fdir=ckpt_dir,
             fname=f"model_step_{step}.ckpt",
             is_best=is_best,
@@ -532,20 +574,26 @@ def run_classification_experiment(
     acc = zero_acc()
     data_time_sum = 0.0
     t_window = time.perf_counter()
+    # device-resident prefetch (train.device_prefetch): batches are placed
+    # on device `dp` ahead so the async H2D of batch k+1 overlaps the
+    # running step k; next(dev_iter) time measures the residual STALL, the
+    # honest data_time under overlap
+    from .data import prefetch_to_device
+
+    dev_iter = prefetch_to_device(
+        data_iter, place_batch, size=int(cfg.train.device_prefetch)
+    )
     for step in range(initial_step, total_steps + 1):
         t0 = time.perf_counter()
-        xb, yb = next(data_iter)
+        batch = next(dev_iter)
         data_time_sum += time.perf_counter() - t0
 
         w_reg = float(w_reg_sched(step))
         lr = float(lr_sched(step))
-        # host batch goes through place_batch ONCE (sharded over the mesh
-        # or plain device arrays) — no default-device hop first
-        batch = place_batch((xb, yb))
         yb_dev = batch[1]
         ts, loss, stats = train_step(ts, batch, w_reg, lr)
         acc = window_update(acc, loss, stats, yb_dev)
-        bs = xb.shape[0]
+        bs = int(yb_dev.shape[0])
 
         if step % cfg.train.print_frequency == 0:
             w = jax.device_get(acc)  # the window's single host sync
@@ -630,23 +678,38 @@ def _run_block_loop(cfg, make_block, spc, ts, data_iter,
     wl.block_until_ready()
     del ts_copy
 
+    # device-resident prefetch (train.device_prefetch): whole K-stacks are
+    # placed ahead so the (large) stacked-batch H2D overlaps the running
+    # K-step program; next(dev_stacks) measures the residual stall
+    from .data import prefetch_to_device
+
+    def _host_stacks():
+        s = initial_step - 1
+        while s < total_steps:
+            # realign to the spc grid (a resume can land off-grid) so the
+            # print/eval boundaries — multiples of spc — are always hit
+            bk = min(spc - (s % spc), total_steps - s)
+            stack = stack_host([next(data_iter) for _ in range(bk)])
+            s += bk
+            yield bk, stack
+
+    dev_stacks = prefetch_to_device(
+        _host_stacks(), lambda it: (it[0], place_block(it[1])),
+        size=int(cfg.train.device_prefetch),
+    )
+
     pending = []  # device-side per-block stat sums, synced once per window
     window_n = 0
     data_time_sum = 0.0
     t_window = time.perf_counter()
     step = initial_step - 1
     while step < total_steps:
-        # realign to the spc grid (a resume can land off-grid) so the
-        # print/eval boundaries — multiples of spc — are always hit
-        bk = min(spc - (step % spc), total_steps - step)
         t0 = time.perf_counter()
-        host_batches = [next(data_iter) for _ in range(bk)]
-        xstack, ystack = stack_host(host_batches)
+        bk, batch_stack = next(dev_stacks)
         data_time_sum += time.perf_counter() - t0
         steps = range(step + 1, step + bk + 1)
         w_regs = np.asarray([w_reg_sched(s) for s in steps], np.float32)
         lrs = np.asarray([lr_sched(s) for s in steps], np.float32)
-        batch_stack = place_block((xstack, ystack))
         ts, _, red = multi_step(ts, batch_stack, w_regs, lrs)
         pending.append(red)
         window_n += bk
@@ -666,7 +729,8 @@ def _run_block_loop(cfg, make_block, spc, ts, data_iter,
             print_window(
                 step, sums, max(window_n, 1), n_fail == 0.0,
                 time.perf_counter() - t_window, data_time_sum,
-                xstack.shape[1], last_batch, w_reg, ts,
+                int(jax.tree_util.tree_leaves(batch_stack)[0].shape[1]),
+                last_batch, w_reg, ts,
             )
             window_n = 0
             data_time_sum = 0.0
@@ -693,6 +757,28 @@ def evaluate_classification(cfg, eval_step, ts: TrainState, data, w_reg,
     # shipped eval_batchsize=512 on small real-data artifacts (the latent
     # runner has the same clamp)
     eval_bs = min(int(cfg.dataset.eval_batchsize), int(x_test.shape[0]))
+    if jax.process_count() > 1 and cfg.train.data_parallel != "none":
+        # the clamp can violate the data-parallel divisibility contract
+        # that _wire_data_parallel validated against the UNCLAMPED config
+        # (small real-data test splits under pod mode): round DOWN to the
+        # data-parallel degree like the latent runner, and fail clearly
+        # when the split is smaller than the degree (ADVICE r4)
+        n_data = len(jax.devices()) // max(1, int(cfg.train.tensor_parallel))
+        rounded = eval_bs - eval_bs % n_data
+        if rounded == 0:
+            raise ValueError(
+                f"test split ({int(x_test.shape[0])} samples) is smaller "
+                f"than the data-parallel degree {n_data}; multi-process "
+                "eval needs at least one full global batch"
+            )
+        if rounded != eval_bs:
+            print(
+                f"[eval] eval batch rounded {eval_bs} -> {rounded} for "
+                f"data-parallel degree {n_data} (globally sharded eval "
+                "batches must split over the data axis)",
+                flush=True,
+            )
+        eval_bs = rounded
     loader = make_dataloader((x_test, y_test), eval_bs, drop_last=True)
     if place_batch is None:
         def place_batch(b):

@@ -40,6 +40,7 @@ struct Loader {
   bool drop_last = true;
   bool cycle = false;
   uint64_t seed = 0;
+  int64_t skip_batches = 0;  // fast-forward for exact checkpoint resume
 
   // queue
   size_t capacity = 4;
@@ -59,15 +60,23 @@ struct Loader {
   void produce() {
     std::vector<int64_t> idx(n_rows);
     std::iota(idx.begin(), idx.end(), 0);
-    int64_t epoch = 0;
-    int64_t batch_counter = 0;
     const int64_t nb = batches_per_epoch();
+    // index-only fast-forward: a resumed run replays the SAME epoch
+    // permutations (seed + epoch) and starts mid-epoch, so the resumed
+    // batch stream is bitwise-identical to the uninterrupted run's
+    int64_t epoch = nb > 0 ? skip_batches / nb : 0;
+    int64_t b_start = nb > 0 ? skip_batches % nb : 0;
+    int64_t batch_counter = skip_batches;
     while (!stop.load()) {
       if (shuffle) {
+        // history-free per-epoch permutation (re-iota before shuffling):
+        // epoch k's ordering depends only on (seed, k), so a resumed
+        // loader that jumps straight to epoch k reproduces it exactly
+        std::iota(idx.begin(), idx.end(), 0);
         std::mt19937_64 rng(seed + static_cast<uint64_t>(epoch));
         std::shuffle(idx.begin(), idx.end(), rng);
       }
-      for (int64_t b = 0; b < nb && !stop.load(); ++b) {
+      for (int64_t b = b_start; b < nb && !stop.load(); ++b) {
         const int64_t start = b * batch_size;
         const int64_t count =
             std::min(batch_size, n_rows - start);
@@ -93,6 +102,7 @@ struct Loader {
       }
       if (!cycle) break;
       ++epoch;
+      b_start = 0;
     }
     std::lock_guard<std::mutex> lock(mu);
     finished = true;
@@ -106,7 +116,8 @@ extern "C" {
 
 Loader* dl_create(int n_arrays, const void** arrays, const int64_t* row_bytes,
                   int64_t n_rows, int64_t batch_size, int shuffle,
-                  uint64_t seed, int queue_cap, int drop_last, int cycle) {
+                  uint64_t seed, int queue_cap, int drop_last, int cycle,
+                  int64_t skip_batches) {
   auto* loader = new Loader();
   for (int i = 0; i < n_arrays; ++i) {
     loader->arrays.push_back(static_cast<const uint8_t*>(arrays[i]));
@@ -119,6 +130,7 @@ Loader* dl_create(int n_arrays, const void** arrays, const int64_t* row_bytes,
   loader->capacity = queue_cap > 0 ? static_cast<size_t>(queue_cap) : 4;
   loader->drop_last = drop_last != 0;
   loader->cycle = cycle != 0;
+  loader->skip_batches = skip_batches > 0 ? skip_batches : 0;
   loader->producer = std::thread([loader] { loader->produce(); });
   return loader;
 }

@@ -63,6 +63,7 @@ def _load():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int64,
         ]
         lib.dl_next.restype = ctypes.c_int64
         lib.dl_next.argtypes = [
@@ -94,6 +95,7 @@ class NativeDataloader:
         seed: int = 0,
         prefetch: int = 4,
         drop_last: bool = True,
+        skip_batches: int = 0,
     ):
         lib = _load()
         if lib is None:
@@ -114,7 +116,7 @@ class NativeDataloader:
         rb = (ctypes.c_int64 * len(self.arrays))(*self._row_bytes)
         self._handle = lib.dl_create(
             len(self.arrays), ptrs, rb, n, batch_size, int(shuffle),
-            seed, prefetch, int(drop_last), int(cycle),
+            seed, prefetch, int(drop_last), int(cycle), int(skip_batches),
         )
         self._dst = None
 

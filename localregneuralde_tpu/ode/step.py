@@ -80,7 +80,10 @@ def regularization_value(
         return internal_norm(res) * dt
     elif reg_type == "stiffness_estimate":
         k7, k6 = step.ks[6], step.ks[5]
-        eps = jnp.finfo(jnp.float32).eps
+        # dtype-dependent epsilon like the reference's eps(eltype(u))
+        # (perform_step.jl:45) — under x64/non-f32 states the small-
+        # denominator behavior must track the state dtype (ADVICE r4)
+        eps = jnp.finfo(jnp.result_type(step.u_new)).eps
         # Guard both degenerate limits: den == 0 (the reference's explicit
         # `iszero(den) && return 0`, perform_step.jl:45) and non-finite
         # operands (inf/inf when a truncated/diverged solve overflows the

@@ -99,6 +99,30 @@ def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     summary["seed"] = seed
     summary["steps"] = steps
     summary["difficulty"] = difficulty
+    if cfg.model.bn_eval_stats != "running":
+        # de-confounded protocol: the run evaluated with batch statistics
+        # (the BN-inside-dynamics eval pathology escape hatch); log the
+        # DEFAULT reference semantics (running stats) alongside by
+        # re-evaluating the best checkpoint once in eval-only mode
+        cfg2 = define_configuration([], str(CONFIG))
+        for attr, val in (
+            ("model_type", cfg.model.model_type),
+            ("bn_eval_stats", "running"),
+            ("regularize", cfg.model.regularize),
+            ("regularize_type", cfg.model.regularize_type),
+        ):
+            setattr(cfg2.model, attr, val)
+        cfg2.dataset.difficulty = difficulty
+        cfg2.seed = seed
+        cfg2.train.evaluate = True
+        cfg2.train.expt_subdir = subdir + "_runningbn_eval"
+        cfg2.train.resume = os.path.join(
+            summary["ckpt_dir"], "model_best.ckpt"
+        )
+        ev = run_classification_experiment(
+            cfg2, f"cns_{tag}_runbn", normalize=normalize
+        )
+        summary["final_eval_running_bn"] = ev["eval"]
     return summary
 
 
@@ -111,6 +135,11 @@ def main():
     subdir = f"cifar_nfe_study_{steps}_s{seed}_{difficulty}"
     if os.environ.get("LRN_BN_EVAL"):
         subdir += f"_bn{os.environ['LRN_BN_EVAL']}"
+    if os.environ.get("LRN_SUBDIR_TAG"):
+        # lets long arms run as SEPARATE invocations (own subdir + own
+        # json each, crash-isolated); cross-arm reductions are then
+        # computed by the caller from the per-arm jsons
+        subdir += f"_{os.environ['LRN_SUBDIR_TAG']}"
     for root in ("checkpoints", "logs"):
         shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 

@@ -16,6 +16,12 @@ Usage: python scripts/latent_nfe_study.py [steps] [out.json] [arms...]
   arms default: none unbiased:100:10
   arm syntax:   none | unbiased:W0:W1 | biased:W0:W1 (exponential decay W0->W1)
   LRN_SEED=k   env var sets the training seed for every arm (default 0)
+  LRN_HARD=1   env var switches the synthetic stand-in to the 'hard'
+               difficulty (multi-scale latent + observation noise) so the
+               trained baseline's NFE sits well off the adaptive-solver
+               floor at tol 1.4e-8 and the comparison discriminates
+  LRN_STEPS_PER_CALL=K  sets train.steps_per_call (must divide the
+               shipped print_frequency=10 and evaluate_every=100)
 """
 import json
 import os
@@ -47,9 +53,12 @@ def parse_arm(spec):
     return (kind, float(w0), float(w1))
 
 
-def run_arm(reg, w0, w1, steps, subdir, seed=0):
+def run_arm(reg, w0, w1, steps, subdir, seed=0, difficulty="easy"):
     cfg = define_configuration([], str(CONFIG))
     cfg.model.model_type = "time_series"
+    cfg.dataset.difficulty = difficulty
+    if os.environ.get("LRN_STEPS_PER_CALL"):
+        cfg.train.steps_per_call = int(os.environ["LRN_STEPS_PER_CALL"])
     cfg.model.regularize = reg
     cfg.loss.w_reg_start = w0
     cfg.loss.w_reg_end = w1
@@ -66,6 +75,7 @@ def run_arm(reg, w0, w1, steps, subdir, seed=0):
     summary["w_reg"] = [w0, w1]
     summary["seed"] = seed
     summary["steps"] = steps
+    summary["difficulty"] = difficulty
     return summary
 
 
@@ -74,7 +84,8 @@ def main():
     out_path = sys.argv[2] if len(sys.argv) > 2 else "latent_nfe_study.json"
     arm_specs = sys.argv[3:] or ["none", "unbiased:100:10"]
     seed = int(os.environ.get("LRN_SEED", "0"))
-    subdir = f"latent_nfe_study_{steps}_s{seed}"
+    difficulty = "hard" if os.environ.get("LRN_HARD") else "easy"
+    subdir = f"latent_nfe_study_{steps}_s{seed}_{difficulty}"
     for root in ("checkpoints", "logs"):
         shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 
@@ -82,7 +93,10 @@ def main():
     for spec in arm_specs:
         reg, w0, w1 = parse_arm(spec)
         print(f"=== arm {reg} w_reg={w0}->{w1} ({steps} steps) ===", flush=True)
-        results.append(run_arm(reg, w0, w1, steps, subdir, seed=seed))
+        results.append(
+            run_arm(reg, w0, w1, steps, subdir, seed=seed,
+                    difficulty=difficulty)
+        )
         # dump after every arm: a crash in arm k keeps arms 1..k-1
         base = next((r for r in results if r["regularize"] == "none"), None)
         if base is not None:

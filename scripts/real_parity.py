@@ -111,7 +111,31 @@ def build_fixture_data_root(tmp: Path) -> Path:
     return root
 
 
-def run_family(family: str, data_root: str, steps, targets):
+def smoke_learning_bars(data_root: Path) -> dict:
+    """Learning bars for --fixtures-smoke (round-4 verdict Weak #2: a
+    smoke that can't distinguish a learning model from a broken loss is a
+    weak guarantee). Classification families must clear absolute accuracy
+    bars on the fixture sets; the latent family must beat 0.7x the
+    zero-prediction masked MSE (the 'predicted nothing' floor, computed
+    from the fixture artifact itself)."""
+    p = np.load(Path(data_root) / "physionet.npz")
+    data = p["observed_data"].astype(np.float64)  # (F, T, N)
+    mask = p["observed_mask"].astype(np.float64)
+    per_series = (
+        (np.square(data) * mask).sum(axis=(0, 1))
+        / np.maximum(mask.sum(axis=(0, 1)), 1.0)
+    )
+    zero_mse = float(per_series.mean())
+    return {
+        "mnist_ode": ("acc", 90.0),
+        "mnist_sde": ("acc", 90.0),
+        "cifar10": ("acc", 30.0),
+        "physionet": ("mse", 0.7 * zero_mse),
+    }
+
+
+def run_family(family: str, data_root: str, steps, targets,
+               smoke_bars=None):
     from localregneuralde_tpu.harness import define_configuration
 
     cfg = define_configuration([], str(REPO / CONFIGS[family]))
@@ -185,6 +209,19 @@ def run_family(family: str, data_root: str, steps, targets):
             row["verdict"] = (
                 "PASS" if value <= target * 1.05 else "FAIL"
             )
+    elif smoke_bars is not None:
+        kind, bar = smoke_bars[family]
+        assert kind == metric
+        ok = value >= bar if metric == "acc" else value <= bar
+        row["smoke_bar"] = bar
+        row["verdict"] = (
+            f"learned ({metric}={value:.4g} vs bar "
+            f"{'>=' if metric == 'acc' else '<='} {bar:.4g}; fixture "
+            "smoke — supply real data + --target for the ±0.2 pt check)"
+            if ok
+            else f"FAILED-TO-LEARN ({metric}={value:.4g} missed the "
+                 f"fixture-smoke bar {bar:.4g})"
+        )
     elif full_schedule and row["real_data"]:
         s = SANITY[family]
         ok = (
@@ -235,17 +272,27 @@ def main():
         fam, val = spec.split("=")
         targets[fam] = float(val)
 
+    smoke_bars = None
     if args.fixtures_smoke:
         tmp = Path(tempfile.mkdtemp(prefix="real_parity_fix_"))
         data_root = str(build_fixture_data_root(tmp))
         print(f"[fixtures-smoke] data root: {data_root}")
+        if args.steps is None:
+            # enough steps that a correct loss/optimizer MUST clear the
+            # learning bars on the small fixture sets; a broken loss won't
+            args.steps = 400
+        smoke_bars = smoke_learning_bars(Path(data_root))
+        print(f"[fixtures-smoke] learning bars: {smoke_bars}")
     else:
         data_root = args.data_root
 
     rows = []
     for fam in args.families:
         print(f"=== {fam} ({CONFIGS[fam]}) ===", flush=True)
-        rows.append(run_family(fam, data_root, args.steps, targets))
+        rows.append(
+            run_family(fam, data_root, args.steps, targets,
+                       smoke_bars=smoke_bars)
+        )
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)
         print(json.dumps(rows[-1], indent=1), flush=True)
