@@ -140,8 +140,11 @@ def main():
         # json each, crash-isolated); cross-arm reductions are then
         # computed by the caller from the per-arm jsons
         subdir += f"_{os.environ['LRN_SUBDIR_TAG']}"
-    for root in ("checkpoints", "logs"):
-        shutil.rmtree(REPO / root / subdir, ignore_errors=True)
+    if not os.environ.get("LRN_KEEP"):
+        # LRN_KEEP=1 preserves the subdir so a killed long arm RESUMES
+        # from model_current (exact resume incl. data stream, round 5)
+        for root in ("checkpoints", "logs"):
+            shutil.rmtree(REPO / root / subdir, ignore_errors=True)
 
     results = []
     for spec in arm_specs:
