@@ -136,7 +136,14 @@ def smoke_learning_bars(data_root: Path) -> dict:
 
 def run_family(family: str, data_root: str, steps, targets,
                smoke_bars=None):
+    import shutil
+
     from localregneuralde_tpu.harness import define_configuration
+
+    # fresh subdir: auto-resume (round 5, exact) would otherwise pick up a
+    # stale checkpoint from a previous parity/smoke invocation
+    for root in ("checkpoints", "logs"):
+        shutil.rmtree(REPO / root / "real_parity", ignore_errors=True)
 
     cfg = define_configuration([], str(REPO / CONFIGS[family]))
     cfg.dataset.data_root = data_root
