@@ -107,7 +107,21 @@ def main():
     tgrid = np.sort(rng.rand(T).astype(np.float32))
     tgrid[0] = 0.0
     tp = np.broadcast_to(tgrid[:, None], (T, N)).astype(np.float32)
-    data = rng.randn(F, T, N).astype(np.float32)
+    # LEARNABLE content (round 5): a latent-oscillator decode + noise,
+    # like harness.data.synthetic_physionet — the previous iid-Gaussian
+    # fixture was unlearnable by construction, so the fixtures-smoke
+    # learning bar (mse <= 0.7x zero-prediction) could never pass for
+    # this family. Format (feature-major, full key schema) unchanged.
+    decoder = rng.randn(2, F).astype(np.float32) * 0.5
+    phase = rng.rand(N, 1).astype(np.float32) * 2 * np.pi
+    freqs = 1.0 + rng.rand(N, 1).astype(np.float32)
+    z1 = np.sin(2 * np.pi * freqs * tgrid[None, :] + phase)
+    z2 = np.cos(2 * np.pi * freqs * tgrid[None, :] + phase)
+    latent = np.stack([z1, z2], axis=-1)  # (N, T, 2)
+    series = latent @ decoder + 0.1 * rng.randn(N, T, F)
+    data = np.ascontiguousarray(
+        series.transpose(2, 1, 0)
+    ).astype(np.float32)  # -> (F, T, N)
     mask = (rng.rand(F, T, N) < 0.5).astype(np.float32)
     np.savez_compressed(
         os.path.join(phys_dir, "physionet.npz"),
