@@ -52,10 +52,27 @@ def mnist_like(n, seed):
 
 
 def cifar_like(n, seed):
+    """Class-prototype RGB images (round 5: the previous uniform-noise +
+    random-label fixture was unlearnable by construction, so the
+    fixtures-smoke learning bar could never pass for the conv family)."""
     rng = np.random.RandomState(seed)
     y = rng.randint(0, 10, size=n).astype(np.uint8)
-    x = rng.randint(0, 256, size=(n, 32, 32, 3)).astype(np.uint8)
-    return x, y
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float32)
+    protos = np.stack(
+        [
+            np.stack(
+                [
+                    np.sin((c % 4 + 1) * np.pi * yy / 32)
+                    * np.sin((c // 4 + ch + 1) * np.pi * xx / 32)
+                    for ch in range(3)
+                ],
+                axis=-1,
+            )
+            for c in range(10)
+        ]
+    )
+    x = protos[y] * 0.5 + 0.5 + 0.1 * rng.randn(n, 32, 32, 3)
+    return (np.clip(x, 0, 1) * 255).astype(np.uint8), y
 
 
 def main():
